@@ -1,0 +1,15 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding tests run on a virtual 8-device CPU mesh
+(xla_force_host_platform_device_count); real-TPU behavior is exercised by
+bench.py / the driver's dryrun instead.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
