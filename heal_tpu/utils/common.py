@@ -14,7 +14,11 @@ def limit_period(val, offset: float = 0.5, period: float = 2 * np.pi):
 
     Works for numpy arrays, python scalars and jax arrays (pure ufuncs).
     """
-    return val - np.floor(val / period + offset) * period
+    if isinstance(val, (np.ndarray, float, int)):
+        return val - np.floor(val / period + offset) * period
+    import jax.numpy as jnp
+
+    return val - jnp.floor(val / period + offset) * period
 
 
 def update_dict(base: dict, override: dict) -> dict:
