@@ -1,0 +1,96 @@
+"""Dataset builder: (fusion assembler) x (scene backend) composition.
+
+Replaces the reference's ``build_dataset`` eval-based class factory
+(data_utils/datasets/__init__.py:15-33) with an explicit pairing. A
+"backend" yields scenes (agents + poses + sensors + world objects); the
+assembler turns scenes into fixed-shape samples for a fusion timing.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .scene import IntermediateAssembler, collate
+from .synthetic import SyntheticDataset
+
+
+def _build_backend(params: dict, train: bool):
+    name = params["fusion"].get("dataset", "synthetic")
+    if name == "synthetic":
+        args = params["fusion"].get("args") or {}
+        args = args if isinstance(args, dict) else {}
+        return SyntheticDataset(
+            params,
+            train=train,
+            num_scenes=args.get(
+                "num_scenes_train" if train else "num_scenes_test",
+                32 if train else 8,
+            ),
+            num_agents=args.get("num_agents", 3),
+            num_vehicles=args.get("num_vehicles", 10),
+        )
+    if name in ("opv2v", "v2xset"):
+        from .opv2v import OPV2VBackend
+
+        return OPV2VBackend(params, train=train)
+    if name == "dairv2x":
+        from .dairv2x import DAIRV2XBackend
+
+        return DAIRV2XBackend(params, train=train)
+    if name == "v2xsim":
+        from .v2xsim import V2XSimBackend
+
+        return V2XSimBackend(params, train=train)
+    raise KeyError(f"unknown dataset backend {name!r}")
+
+
+class FusionDataset:
+    """Iterable over assembled samples + batch iterator."""
+
+    def __init__(self, params: dict, train: bool = True):
+        self.params = params
+        self.train = train
+        self.backend = _build_backend(params, train)
+        method = params["fusion"]["core_method"]
+        if method in (
+            "intermediate",
+            "intermediateheter",
+            "intermediate2stage",
+            "intermediateheterinfer",
+        ):
+            self.assembler = IntermediateAssembler(params, train)
+        elif method in ("late", "lateheter"):
+            from .late_early import LateAssembler
+
+            self.assembler = LateAssembler(params, train)
+        elif method == "early":
+            from .late_early import EarlyAssembler
+
+            self.assembler = EarlyAssembler(params, train)
+        else:
+            raise KeyError(f"unknown fusion core_method {method!r}")
+        self.modalities = self.assembler.modalities
+
+    def __len__(self):
+        return len(self.backend)
+
+    def __getitem__(self, idx: int) -> dict:
+        return self.assembler.assemble(self.backend.scene(idx))
+
+    @property
+    def anchors(self):
+        return self.assembler.anchors
+
+    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0):
+        """Yield collated fixed-shape numpy batches (drops the remainder so
+        every batch compiles to the same executable)."""
+        order = np.arange(len(self))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idxs = order[start : start + batch_size]
+            samples = [self[i] for i in idxs]
+            yield collate(samples, tuple(self.modalities))
+
+
+def build_dataset(params: dict, visualize: bool = False, train: bool = True):
+    return FusionDataset(params, train=train)

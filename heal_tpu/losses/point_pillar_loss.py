@@ -1,0 +1,152 @@
+"""PointPillars detection loss.
+
+Semantics of reference loss/point_pillar_loss.py: sigmoid focal cls loss
+with pos_cls_weight and per-sample positive normalization; smooth-L1 reg
+loss with sin-difference angle encoding; softmax direction-bin loss.
+All reductions are mask-based over fixed shapes (no boolean indexing).
+
+Prediction layout NHWC: cls (B, H, W, A), reg (B, H, W, A*7),
+dir (B, H, W, A*bins); targets from heal_tpu.postprocess.targets.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import register_loss
+from ..utils.common import limit_period
+
+
+def sigmoid_focal_loss(logits, labels, weights, alpha: float, gamma: float):
+    """Per-element focal loss, weighted (ref point_pillar_loss.py:207-230)."""
+    pred_sigmoid = jax.nn.sigmoid(logits)
+    alpha_weight = labels * alpha + (1 - labels) * (1 - alpha)
+    pt = labels * (1.0 - pred_sigmoid) + (1.0 - labels) * pred_sigmoid
+    focal_weight = alpha_weight * jnp.power(pt, gamma)
+    bce = (
+        jnp.clip(logits, 0, None)
+        - logits * labels
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+    return bce * focal_weight * weights
+
+
+def weighted_smooth_l1(preds, targets, weights, sigma: float):
+    """Huber with transition at 1/sigma^2 (ref WeightedSmoothL1Loss)."""
+    diff = preds - targets
+    abs_diff = jnp.abs(diff)
+    cut = 1.0 / (sigma**2)
+    loss = jnp.where(
+        abs_diff < cut,
+        0.5 * (sigma * diff) ** 2,
+        abs_diff - 0.5 * cut,
+    )
+    return loss * weights
+
+
+def add_sin_difference(preds, targets, dim: int = 6):
+    """Replace yaw residuals with sin(p-t) factorization (ref :125-137)."""
+    rad_pred = jnp.sin(preds[..., dim : dim + 1]) * jnp.cos(
+        targets[..., dim : dim + 1]
+    )
+    rad_tgt = jnp.cos(preds[..., dim : dim + 1]) * jnp.sin(
+        targets[..., dim : dim + 1]
+    )
+    preds = jnp.concatenate(
+        [preds[..., :dim], rad_pred, preds[..., dim + 1 :]], axis=-1
+    )
+    targets = jnp.concatenate(
+        [targets[..., :dim], rad_tgt, targets[..., dim + 1 :]], axis=-1
+    )
+    return preds, targets
+
+
+def direction_targets(
+    reg_targets, anchor_yaw_deg, dir_offset: float, num_bins: int
+):
+    """One-hot direction bins from yaw residual + anchor yaw (ref :146-172).
+
+    reg_targets: (B, N, 7) where N = H*W*A and anchors cycle fastest.
+    """
+    anchor_yaw = jnp.asarray(np.radians(np.asarray(anchor_yaw_deg)))
+    a = anchor_yaw.shape[0]
+    n = reg_targets.shape[1]
+    anchor_map = jnp.tile(anchor_yaw, n // a)
+    rot_gt = reg_targets[..., -1] + anchor_map[None, :]
+    offset_rot = limit_period(rot_gt - dir_offset, 0.0, 2 * np.pi)
+    bins = jnp.clip(
+        jnp.floor(offset_rot / (2 * np.pi / num_bins)).astype(jnp.int32),
+        0,
+        num_bins - 1,
+    )
+    return jax.nn.one_hot(bins, num_bins)
+
+
+@register_loss("point_pillar_loss")
+class PointPillarLoss:
+    def __init__(self, args: dict):
+        self.args = args
+        self.pos_cls_weight = args["pos_cls_weight"]
+        self.cls = args["cls"]
+        self.reg = args["reg"]
+        self.dir = args.get("dir")
+
+    def __call__(self, output_dict, target_dict, suffix: str = ""):
+        cls_preds = output_dict[f"cls_preds{suffix}"]
+        b = cls_preds.shape[0]
+        cls_labels = target_dict["pos_equal_one"].reshape(b, -1, 1)
+        positives = cls_labels > 0
+        negatives = target_dict["neg_equal_one"].reshape(b, -1, 1) > 0
+        pos_normalizer = jnp.maximum(
+            positives.sum(axis=1, keepdims=True).astype(jnp.float32), 1.0
+        )
+
+        cls_preds = cls_preds.reshape(b, -1, 1)
+        cls_weights = (
+            positives * self.pos_cls_weight + negatives * 1.0
+        ) / pos_normalizer
+        cls_loss = sigmoid_focal_loss(
+            cls_preds,
+            cls_labels.astype(cls_preds.dtype),
+            cls_weights,
+            alpha=self.cls["alpha"],
+            gamma=self.cls["gamma"],
+        )
+        cls_loss = cls_loss.sum() * self.cls["weight"] / b
+
+        reg_weights = positives.astype(jnp.float32) / pos_normalizer
+        reg_preds = output_dict[f"reg_preds{suffix}"].reshape(b, -1, 7)
+        reg_targets = target_dict["targets"].reshape(b, -1, 7)
+        reg_preds_sin, reg_targets_sin = add_sin_difference(
+            reg_preds, reg_targets
+        )
+        reg_loss = weighted_smooth_l1(
+            reg_preds_sin, reg_targets_sin, reg_weights, self.reg["sigma"]
+        )
+        reg_loss = reg_loss.sum() * self.reg["weight"] / b
+
+        total = cls_loss + reg_loss
+        aux = {"cls_loss": cls_loss, "reg_loss": reg_loss}
+
+        if self.dir is not None and f"dir_preds{suffix}" in output_dict:
+            num_bins = self.dir["args"]["num_bins"]
+            dir_tgt = direction_targets(
+                reg_targets,
+                self.dir["args"]["anchor_yaw"],
+                self.dir["args"]["dir_offset"],
+                num_bins,
+            )
+            dir_logits = output_dict[f"dir_preds{suffix}"].reshape(
+                b, -1, num_bins
+            )
+            log_probs = jax.nn.log_softmax(dir_logits, axis=-1)
+            ce = -(dir_tgt * log_probs).sum(-1)
+            dir_loss = (ce * reg_weights.squeeze(-1)).sum() * self.dir[
+                "weight"
+            ] / b
+            total = total + dir_loss
+            aux["dir_loss"] = dir_loss
+
+        aux["total_loss"] = total
+        return total, aux

@@ -1,0 +1,170 @@
+"""Per-agent sensor encoders (lidar → BEV).
+
+Reference: models/heter_encoders.py — PointPillar (:22-50), SECOND (:52-81),
+LiftSplatShoot (:83-242). Encoders take padded per-agent sensor data and
+produce a dense NHWC BEV feature map; all shapes static.
+
+The PointPillars path fuses voxelize+VFE+scatter (see ops/voxelize.py):
+one big (B*N_pts, C) GEMM for the PFN feeds segment-max scatters — no
+ragged pillar tensors, MXU-friendly, voxelization on device.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import voxelize
+from .layers import Norm
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid points only (padding excluded from statistics).
+
+    Mirrors BatchNorm1d(eps=1e-3, momentum=0.01) in the reference PFNLayer
+    but is padding-aware — required because our point tensors are padded to
+    a fixed N.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            w = mask.astype(jnp.float32)
+            denom = jnp.maximum(w.sum(), 1.0)
+            mean = (x * w[:, None]).sum(0) / denom
+            var = (((x - mean) ** 2) * w[:, None]).sum(0) / denom
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
+class PFNLayer(nn.Module):
+    """Linear -> norm -> relu per point (max-pooling happens at scatter)."""
+
+    features: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        x = nn.Dense(self.features, use_bias=self.norm == "none")(x)
+        if self.norm == "batch":
+            x = MaskedBatchNorm()(x, mask, train)
+        elif self.norm == "group":
+            x = nn.LayerNorm(epsilon=1e-3)(x)
+        return nn.relu(x)
+
+
+class PointPillarEncoder(nn.Module):
+    """points (B, N, 4) + mask (B, N) -> BEV (B, ny, nx, C).
+
+    Args mirror the reference encoder_args: voxel_size, lidar_range,
+    pillar_vfe.num_filters / use_absolute_xyz / with_distance,
+    point_pillar_scatter.num_features.
+    """
+
+    voxel_size: Sequence[float]
+    lidar_range: Sequence[float]
+    num_filters: Sequence[int] = (64,)
+    use_absolute_xyz: bool = True
+    with_distance: bool = False
+    norm: str = "batch"
+
+    @property
+    def grid_nx(self):
+        return int(
+            round((self.lidar_range[3] - self.lidar_range[0]) / self.voxel_size[0])
+        )
+
+    @property
+    def grid_ny(self):
+        return int(
+            round((self.lidar_range[4] - self.lidar_range[1]) / self.voxel_size[1])
+        )
+
+    @nn.compact
+    def __call__(self, points, mask, train: bool = False):
+        b, n, _ = points.shape
+        nx, ny = self.grid_nx, self.grid_ny
+        cells = nx * ny + 1  # + drop bucket
+
+        # per-sample pillar ids, flattened into a batch-wide segment space
+        ids, valid = jax.vmap(
+            lambda p, m: voxelize.pillar_ids(
+                p, m, self.lidar_range, self.voxel_size, nx, ny
+            )
+        )(points, mask)
+        flat_ids = (
+            ids + jnp.arange(b, dtype=ids.dtype)[:, None] * cells
+        ).reshape(-1)
+        flat_valid = valid.reshape(-1)
+        flat_points = points.reshape(-1, points.shape[-1])
+
+        # sort points by pillar id: XLA's TPU scatter is ~70x faster with
+        # sorted indices (measured 27ms -> 0.4ms per segment op on v5e),
+        # and the per-sample offsets keep the batch grouping intact.
+        order = jnp.argsort(flat_ids)
+        flat_ids = flat_ids[order]
+        flat_valid = flat_valid[order]
+        flat_points = jnp.take(flat_points, order, axis=0)
+
+        feats = self._decorate(flat_points, flat_ids, flat_valid, b * cells)
+        for i, f in enumerate(self.num_filters):
+            feats = PFNLayer(f, norm=self.norm, name=f"pfn_{i}")(
+                feats, flat_valid, train
+            )
+        feats = feats * flat_valid.astype(feats.dtype)[:, None]
+
+        canvas = jax.ops.segment_max(
+            feats, flat_ids, num_segments=b * cells, indices_are_sorted=True
+        )
+        canvas = jnp.maximum(
+            jnp.where(jnp.isfinite(canvas), canvas, 0.0), 0.0
+        )
+        canvas = canvas.reshape(b, cells, -1)[:, : nx * ny]
+        return canvas.reshape(b, ny, nx, -1)
+
+    def _decorate(self, pts, ids, valid, num_segments):
+        """PillarVFE 10-channel decoration over the flattened batch."""
+        w = valid.astype(pts.dtype)[:, None]
+        xyzw = jnp.concatenate([pts[:, :3] * w, w], axis=-1)
+        seg = jax.ops.segment_sum(
+            xyzw, ids, num_segments=num_segments, indices_are_sorted=True
+        )
+        mean = seg[:, :3] / jnp.maximum(seg[:, 3:4], 1.0)
+        f_cluster = pts[:, :3] - jnp.take(mean, ids, axis=0)
+
+        nx = self.grid_nx
+        cells = nx * self.grid_ny + 1
+        cell_id = ids % cells
+        xi = cell_id % nx
+        yi = cell_id // nx
+        vx, vy, vz = self.voxel_size
+        cx = xi.astype(pts.dtype) * vx + (self.lidar_range[0] + vx / 2)
+        cy = yi.astype(pts.dtype) * vy + (self.lidar_range[1] + vy / 2)
+        cz = jnp.full_like(cx, self.lidar_range[2] + vz / 2)
+        f_center = pts[:, :3] - jnp.stack([cx, cy, cz], axis=-1)
+
+        feats = [pts if self.use_absolute_xyz else pts[:, 3:], f_cluster, f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(pts[:, :3], axis=-1, keepdims=True))
+        return jnp.concatenate(feats, axis=-1) * w

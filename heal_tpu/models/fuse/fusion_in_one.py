@@ -1,0 +1,230 @@
+"""Single-scale collaborative fusion methods.
+
+Capability parity with reference fuse_modules/fusion_in_one.py: MaxFusion
+(F-Cooper), AttFusion (AttFuse), DiscoFusion (DiscoNet), V2VNetFusion,
+Where2commFusion, Who2comFusion. V2X-ViT and CoBEVT live in their own
+modules (v2xvit.py, cobevt.py).
+
+TPU-first contract (vs the reference's ragged record_len loops): features
+are (B, L, H, W, C) with agent_mask (B, L); slot 0 is the ego. Every module
+first warps all agents into the ego frame (ops/warp.py) and masks padded
+slots out of its reduction — softmaxes get -inf logits, maxes get -inf
+features, means divide by the true agent count. vmap over batch replaces
+the python loop.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.warp import warp_agents_to_ego
+from ..layers import ConvNormAct
+
+NEG_INF = -1e9
+
+
+def build_fusion(method: str, args: dict):
+    """Factory keyed by the config's fusion_method string
+    (ref heter_model_baseline.py:99-115 naming)."""
+    table = {
+        "max": lambda: MaxFusion(),
+        "att": lambda: AttFusion(),
+        "disconet": lambda: DiscoFusion(args.get("in_channels", 64)),
+        "v2vnet": lambda: V2VNetFusion(args),
+        "where2comm": lambda: Where2commFusion(args.get("in_channels", 64)),
+        "who2com": lambda: Who2comFusion(args.get("in_channels", 64)),
+    }
+    if method == "v2xvit":
+        from .v2xvit import V2XViTFusion
+
+        return V2XViTFusion(args)
+    if method == "cobevt":
+        from .cobevt import CoBEVTFusion
+
+        return CoBEVTFusion(args)
+    if method not in table:
+        raise KeyError(f"unknown fusion method {method!r}")
+    return table[method]()
+
+
+class MaxFusion(nn.Module):
+    """Elementwise max over ego-warped agent features (F-Cooper)."""
+
+    @nn.compact
+    def __call__(self, features, affine, agent_mask, train: bool = False):
+        warped = warp_agents_to_ego(features, affine)  # (B, L, H, W, C)
+        m = agent_mask[:, :, None, None, None]
+        warped = jnp.where(m, warped, NEG_INF)
+        return warped.max(axis=1)
+
+
+class ScaledDotProductAttention(nn.Module):
+    """Per-pixel agent-axis self-attention (ref fuse_modules/self_attn.py)."""
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, L, H, W, C); mask: (B, L)
+        c = x.shape[-1]
+        logits = jnp.einsum("blhwc,bmhwc->bhwlm", x, x) / jnp.sqrt(
+            jnp.asarray(c, x.dtype)
+        )
+        logits = jnp.where(mask[:, None, None, None, :], logits, NEG_INF)
+        attn = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhwlm,bmhwc->blhwc", attn, x)
+
+
+class AttFusion(nn.Module):
+    """Per-pixel scaled-dot-product attention across agents; ego output."""
+
+    @nn.compact
+    def __call__(self, features, affine, agent_mask, train: bool = False):
+        warped = warp_agents_to_ego(features, affine)
+        warped = warped * agent_mask[:, :, None, None, None]
+        att = ScaledDotProductAttention()(warped, agent_mask)
+        return att[:, 0]
+
+
+class DiscoFusion(nn.Module):
+    """Pixel-weight MLP over (neighbor, ego) concat + agent softmax
+    (DiscoNet; ref fusion_in_one.py:153-201, disco_fuse.PixelWeightLayer)."""
+
+    feature_dims: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, features, affine, agent_mask, train: bool = False):
+        b, l, h, w, c = features.shape
+        warped = warp_agents_to_ego(features, affine)
+        ego = jnp.broadcast_to(warped[:, 0:1], warped.shape)
+        cat = jnp.concatenate([warped, ego], axis=-1).reshape(b * l, h, w, 2 * c)
+        # PixelWeightLayer: conv stack down to 1 channel
+        x = ConvNormAct(self.feature_dims, 1, 1, norm=self.norm)(cat, train)
+        x = ConvNormAct(32, 1, 1, norm=self.norm)(x, train)
+        logit = nn.Conv(1, (1, 1))(x).reshape(b, l, h, w, 1)
+        logit = jnp.where(agent_mask[:, :, None, None, None], logit, NEG_INF)
+        weight = jax.nn.softmax(logit, axis=1)
+        return (warped * weight).sum(axis=1)
+
+
+class ConvGRUCell(nn.Module):
+    """Convolutional GRU cell (ref sub_modules/convgru.py)."""
+
+    hidden_dim: int
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x, h):
+        zr = nn.Conv(2 * self.hidden_dim, (self.kernel, self.kernel))(
+            jnp.concatenate([x, h], axis=-1)
+        )
+        z, r = jnp.split(jax.nn.sigmoid(zr), 2, axis=-1)
+        n = jnp.tanh(
+            nn.Conv(self.hidden_dim, (self.kernel, self.kernel))(
+                jnp.concatenate([x, r * h], axis=-1)
+            )
+        )
+        return (1 - z) * h + z * n
+
+
+class V2VNetFusion(nn.Module):
+    """Iterative ConvGRU message passing over the agent graph
+    (ref fusion_in_one.py:203-318)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, features, affine, agent_mask, train: bool = False):
+        cfg = self.args
+        c = cfg["in_channels"]
+        num_iter = cfg.get("num_iteration", 2)
+        agg = cfg.get("agg_operator", "avg")
+        gru_flag = cfg.get("gru_flag", True)
+
+        b, l, h, w, _ = features.shape
+        msg_cnn = nn.Conv(c, (3, 3), name="msg_cnn")
+        gru = ConvGRUCell(
+            c, cfg.get("conv_gru", {}).get("kernel_size", [[3, 3]])[0][0]
+        )
+        mlp = nn.Dense(c, name="mlp")
+
+        # FOV mask of each sender as seen from each receiver i:
+        # warp an all-ones map of agent j by affine[i, j].
+        ones = jnp.ones((b, l, h, w, 1), features.dtype)
+        mvalid = agent_mask[:, :, None, None, None].astype(features.dtype)
+
+        node = features
+        for _ in range(num_iter):
+            updated = []
+            for i in range(l):
+                aff_i = jnp.roll(affine, -i, axis=1)  # row i first
+                warped = warp_agents_to_ego(node, aff_i)  # into frame i
+                roi = warp_agents_to_ego(ones, aff_i)
+                ego_i = jnp.broadcast_to(node[:, i : i + 1], warped.shape)
+                msg = msg_cnn(
+                    jnp.concatenate([warped, ego_i], axis=-1).reshape(
+                        b * l, h, w, 2 * c
+                    )
+                ).reshape(b, l, h, w, c)
+                msg = msg * roi * mvalid
+                if agg == "avg":
+                    denom = jnp.maximum(
+                        agent_mask.sum(1).astype(msg.dtype), 1.0
+                    )[:, None, None, None]
+                    agg_f = msg.sum(axis=1) / denom
+                else:
+                    agg_f = jnp.where(mvalid > 0, msg, NEG_INF).max(axis=1)
+                if gru_flag:
+                    new_i = gru(agg_f, node[:, i])
+                else:
+                    new_i = node[:, i] + agg_f
+                updated.append(new_i)
+            node = jnp.stack(updated, axis=1)
+        out = node[:, 0]
+        return mlp(out)
+
+
+class Where2commFusion(nn.Module):
+    """Multi-head attention fusion: ego queries all warped agents
+    (ref fusion_in_one.py:431-484, where2comm_attn.EncodeLayer)."""
+
+    feature_dims: int
+    num_heads: int = 8
+
+    @nn.compact
+    def __call__(self, features, affine, agent_mask, train: bool = False):
+        b, l, h, w, c = features.shape
+        warped = warp_agents_to_ego(features, affine)
+        # queries: ego pixels; keys/values: same pixel across agents
+        q = warped[:, 0:1]  # (B, 1, H, W, C)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=c, name="mha"
+        )
+        q_ = q.transpose(0, 2, 3, 1, 4).reshape(b * h * w, 1, c)
+        kv = warped.transpose(0, 2, 3, 1, 4).reshape(b * h * w, l, c)
+        kv_mask = jnp.broadcast_to(
+            agent_mask[:, None, None, None, None, :], (b, h, w, 1, 1, l)
+        ).reshape(b * h * w, 1, 1, l)
+        fused = attn(q_, kv, kv, mask=kv_mask)
+        fused = fused.reshape(b, h, w, c)
+        # FFN + residual norms (EncodeLayer)
+        y = nn.LayerNorm()(fused + q[:, 0])
+        ff = nn.Dense(c)(nn.relu(nn.Dense(c)(y)))
+        return nn.LayerNorm()(y + ff)
+
+
+class Who2comFusion(nn.Module):
+    """Agent attention + conv decode of (ego, attended) concat
+    (ref fusion_in_one.py:486-538)."""
+
+    feature_dims: int
+
+    @nn.compact
+    def __call__(self, features, affine, agent_mask, train: bool = False):
+        warped = warp_agents_to_ego(features, affine)
+        warped = warped * agent_mask[:, :, None, None, None]
+        att = ScaledDotProductAttention()(warped, agent_mask)[:, 0]
+        cat = jnp.concatenate([features[:, 0], att], axis=-1)
+        return nn.Conv(self.feature_dims, (3, 3), name="decode_layer")(cat)

@@ -1,0 +1,146 @@
+"""Single-agent PointPillars detector (+ homogeneous intermediate variant).
+
+Reference: models/point_pillar.py (single), models/point_pillar_baseline.py
+(intermediate with swappable fusion). Consumes padded raw points — the
+voxelizer lives inside the encoder (see models/encoders.py).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .encoders import PointPillarEncoder
+from .heads import DetectionHeads
+from .layers import DownsampleConv
+from .registry import register_model
+from .resnet_bev import ResNetBEVBackbone
+
+
+def _backbone_from_args(args: dict, norm: str) -> ResNetBEVBackbone:
+    bb = args["base_bev_backbone"]
+    return ResNetBEVBackbone(
+        layer_nums=tuple(bb["layer_nums"]),
+        layer_strides=tuple(bb["layer_strides"]),
+        num_filters=tuple(bb["num_filters"]),
+        upsample_strides=tuple(bb.get("upsample_strides", ())),
+        num_upsample_filter=tuple(bb.get("num_upsample_filter", ())),
+        resnext=bb.get("resnext", False),
+        norm=norm,
+    )
+
+
+def _shrink_from_args(args: dict, norm: str):
+    if "shrink_header" not in args:
+        return None
+    sh = args["shrink_header"]
+    return DownsampleConv(
+        dims=tuple(sh["dim"]),
+        kernels=tuple(sh["kernal_size"]),
+        strides=tuple(sh["stride"]),
+        norm=norm,
+    )
+
+
+@register_model("point_pillar")
+class PointPillar(nn.Module):
+    """args: voxel_size, lidar_range, pillar_vfe, point_pillar_scatter,
+    base_bev_backbone, (shrink_header), anchor_number, (dir_args)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        a = self.args
+        norm = a.get("norm", "batch")
+        encoder = PointPillarEncoder(
+            voxel_size=tuple(a["voxel_size"]),
+            lidar_range=tuple(a["lidar_range"]),
+            num_filters=tuple(a["pillar_vfe"]["num_filters"]),
+            use_absolute_xyz=a["pillar_vfe"].get("use_absolute_xyz", True),
+            with_distance=a["pillar_vfe"].get("with_distance", False),
+            norm=norm,
+        )
+        backbone = _backbone_from_args(a, norm)
+        shrink = _shrink_from_args(a, norm)
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+        )
+
+        points = batch["points"]  # (B, N, 4)
+        mask = batch["point_mask"]  # (B, N)
+        bev = encoder(points, mask, train)
+        feat = backbone(bev, train)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        out = heads(feat)
+        out["spatial_features_2d"] = feat
+        return out
+
+
+@register_model("point_pillar_baseline")
+class PointPillarBaseline(nn.Module):
+    """Homogeneous intermediate fusion with a swappable fusion net
+    (reference models/point_pillar_baseline.py: encoder -> backbone ->
+    shrink -> compress -> fusion -> heads).
+
+    Batch: points (B, L, N, 4), point_mask (B, L, N), agent_mask (B, L),
+    pairwise_affine (B, L, L, 2, 3).
+    """
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .fuse import build_fusion
+        from .layers import NaiveCompressor
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        encoder = PointPillarEncoder(
+            voxel_size=tuple(a["voxel_size"]),
+            lidar_range=tuple(a["lidar_range"]),
+            num_filters=tuple(a["pillar_vfe"]["num_filters"]),
+            use_absolute_xyz=a["pillar_vfe"].get("use_absolute_xyz", True),
+            with_distance=a["pillar_vfe"].get("with_distance", False),
+            norm=norm,
+        )
+        backbone = _backbone_from_args(a, norm)
+        shrink = _shrink_from_args(a, norm)
+        method = a["fusion_method"]
+        fusion_args = dict(a.get(method, {}) or {})
+        fusion_args.setdefault(
+            "in_channels", fusion_args.get("feat_dim", 64)
+        )
+        fusion = build_fusion(method, fusion_args)
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+        )
+
+        points = batch["points"]
+        pmask = batch["point_mask"]
+        b, l = points.shape[:2]
+        flat_pts = points.reshape((b * l,) + points.shape[2:])
+        flat_msk = pmask.reshape((b * l,) + pmask.shape[2:])
+        bev = encoder(flat_pts, flat_msk, train)
+        feat = backbone(bev, train)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        if "compression" in a:
+            feat = NaiveCompressor(
+                input_dim=feat.shape[-1],
+                compress_ratio=a["compression"],
+                norm=norm,
+            )(feat, train)
+        feat = feat.reshape((b, l) + feat.shape[1:])
+        fused = fusion(
+            feat, batch["pairwise_affine"], batch["agent_mask"], train
+        )
+        out = heads(fused)
+        out["spatial_features_2d"] = fused
+        return out

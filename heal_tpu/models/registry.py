@@ -1,0 +1,55 @@
+"""Explicit model/loss registries.
+
+Replaces the reference's importlib + class-name matching
+(tools/train_utils.py:141-210) with decorated registries keyed by the
+config's ``core_method`` string (same key names as the reference's module
+names, so configs carry over).
+"""
+from __future__ import annotations
+
+MODEL_REGISTRY: dict = {}
+LOSS_REGISTRY: dict = {}
+
+
+def register_model(name: str):
+    def deco(cls):
+        MODEL_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def register_loss(name: str):
+    def deco(cls):
+        LOSS_REGISTRY[name] = cls
+        return cls
+
+    return deco
+
+
+def build_model(model_cfg: dict):
+    """Instantiate a flax module from the config's ``model`` section."""
+    name = model_cfg["core_method"]
+    if name not in MODEL_REGISTRY:
+        # lazy import of model files on first use
+        from . import heter_pyramid  # noqa: F401
+        from . import point_pillar  # noqa: F401
+
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model core_method {name!r}; registered: "
+            f"{sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name](args=model_cfg["args"])
+
+
+def build_loss(loss_cfg: dict):
+    name = loss_cfg["core_method"]
+    if name not in LOSS_REGISTRY:
+        from .. import losses  # noqa: F401
+    if name not in LOSS_REGISTRY:
+        raise KeyError(
+            f"unknown loss core_method {name!r}; registered: "
+            f"{sorted(LOSS_REGISTRY)}"
+        )
+    return LOSS_REGISTRY[name](loss_cfg["args"])

@@ -1,0 +1,74 @@
+"""ResNet BEV backbone with multiscale encode/decode split.
+
+Capability of reference sub_modules/base_bev_backbone_resnet.py: a stack of
+ResNet stages producing per-level features, transposed-conv deblocks
+upsampling each level back to the level-0 stride, concatenated along
+channels. ``encode``/``decode`` are exposed separately so intermediate
+fusion (PyramidFusion & the multiscale baselines) can fuse per level.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import DeconvNormAct, ResNetStage
+
+
+class ResNetBEVBackbone(nn.Module):
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    num_filters: Sequence[int]
+    upsample_strides: Sequence[int] = ()
+    num_upsample_filter: Sequence[int] = ()
+    resnext: bool = False
+    norm: str = "batch"
+
+    @property
+    def num_levels(self):
+        return len(self.layer_nums)
+
+    def setup(self):
+        self.stages = [
+            ResNetStage(
+                planes=self.num_filters[i],
+                blocks=self.layer_nums[i],
+                stride=self.layer_strides[i],
+                norm=self.norm,
+                bottleneck_x=self.resnext,
+            )
+            for i in range(self.num_levels)
+        ]
+        self.deblocks = [
+            DeconvNormAct(
+                self.num_upsample_filter[i],
+                self.upsample_strides[i],
+                norm=self.norm,
+            )
+            for i in range(len(self.upsample_strides))
+        ]
+
+    def encode(self, x, train: bool = False):
+        """-> list of per-level features (NHWC)."""
+        feats = []
+        for stage in self.stages:
+            x = stage(x, train)
+            feats.append(x)
+        return feats
+
+    def decode(self, feats, train: bool = False):
+        """Upsample each level and concat channels -> (N, H0, W0, sum C)."""
+        ups = []
+        for i in range(self.num_levels):
+            f = feats[i]
+            if i < len(self.deblocks):
+                f = self.deblocks[i](f, train)
+            ups.append(f)
+        x = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        if len(self.deblocks) > self.num_levels:
+            x = self.deblocks[-1](x, train)
+        return x
+
+    def __call__(self, x, train: bool = False):
+        return self.decode(self.encode(x, train), train)

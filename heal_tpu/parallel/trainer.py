@@ -1,0 +1,159 @@
+"""Training runtime: jitted train/eval steps over an optional device mesh.
+
+Replaces the reference trainers (tools/train.py:102-177, train_ddp.py):
+  * one compiled train step: forward (mutable batch_stats) -> loss
+    (+ optional per-agent "_single" supervision) -> grads -> optimizer;
+  * data parallelism by sharding the batch over a Mesh ``data`` axis with
+    replicated params — XLA inserts the gradient all-reduce (the NCCL
+    all-reduce of DDP);
+  * bf16 compute policy instead of torch AMP.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def _label_targets(batch: dict) -> dict:
+    return {
+        "pos_equal_one": batch["pos_equal_one"],
+        "neg_equal_one": batch["neg_equal_one"],
+        "targets": batch["targets"],
+    }
+
+
+def _single_targets(batch: dict) -> dict:
+    """(B, L, ...) single-agent labels -> flat (B*L, ...)."""
+    out = {}
+    for key in ("pos_equal_one", "neg_equal_one", "targets"):
+        v = batch[f"{key}_single"]
+        out[key] = v.reshape((-1,) + v.shape[2:])
+    return out
+
+
+@dataclasses.dataclass
+class Trainer:
+    model: Any
+    criterion: Any
+    tx: optax.GradientTransformation
+    supervise_single: bool = False
+    single_weight: float = 1.0
+    mesh: Mesh | None = None
+
+    def init_state(self, rng, example_batch) -> TrainState:
+        variables = self.model.init(rng, example_batch, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch_stats, batch):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, mutated = self.model.apply(
+            variables, batch, train=True, mutable=mutable
+        )
+        loss, aux = self.criterion(out, _label_targets(batch))
+        if self.supervise_single:
+            loss_s, aux_s = self.criterion(
+                out, _single_targets(batch), "_single"
+            )
+            loss = loss + self.single_weight * loss_s
+            aux = dict(aux, **{f"{k}_single": v for k, v in aux_s.items()})
+        new_stats = mutated.get("batch_stats", batch_stats)
+        return loss, (aux, new_stats)
+
+    def _train_step(self, state: TrainState, batch: dict):
+        grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+        (loss, (aux, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        updates, new_opt = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, dict(aux, total_loss=loss)
+
+    def _eval_step(self, state: TrainState, batch: dict):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = self.model.apply(variables, batch, train=False)
+        loss, aux = self.criterion(out, _label_targets(batch))
+        return dict(aux, total_loss=loss)
+
+    def _infer_step(self, state: TrainState, batch: dict):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = self.model.apply(variables, batch, train=False)
+        # static metadata (e.g. the pyramid mode string) can't cross jit
+        return {k: v for k, v in out.items() if not isinstance(v, str)}
+
+    # ------------------------------------------------------------------
+    def compile(self):
+        """Build the jitted step functions (optionally mesh-sharded)."""
+        if self.mesh is not None:
+            data = NamedSharding(self.mesh, P("data"))
+            repl = NamedSharding(self.mesh, P())
+
+            def shard_batch(batch):
+                return jax.tree.map(
+                    lambda x: jax.device_put(x, data)
+                    if hasattr(x, "shape") and x.ndim > 0
+                    else x,
+                    batch,
+                )
+
+            self.shard_batch = shard_batch
+            self.train_step = jax.jit(self._train_step, donate_argnums=0)
+            self.eval_step = jax.jit(self._eval_step)
+            self.infer_step = jax.jit(self._infer_step)
+        else:
+            self.shard_batch = lambda b: b
+            self.train_step = jax.jit(self._train_step, donate_argnums=0)
+            self.eval_step = jax.jit(self._eval_step)
+            self.infer_step = jax.jit(self._infer_step)
+        return self
+
+
+def to_device(batch: dict) -> dict:
+    """numpy batch -> jnp (host->device boundary; ref train_utils.to_device)."""
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, batch
+    )

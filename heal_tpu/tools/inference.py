@@ -1,0 +1,119 @@
+"""Inference + AP evaluation CLI.
+
+Reference: tools/inference.py (:43-230) — load config + best checkpoint,
+run the fusion-appropriate forward, decode to boxes, accumulate
+AP@0.3/0.5/0.7 with the VOC matcher, dump eval yaml.
+    python -m heal_tpu.tools.inference --model_dir runs/x [--range 102.4]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_yaml
+from ..data import build_dataset
+from ..models import build_model
+from ..postprocess.decode import post_process_single, strip_padding
+from ..utils import box_np, eval_np
+from ..utils.common import update_dict
+from . import checkpoint as ckpt_lib
+
+
+def run_inference(
+    model_dir: str,
+    override_range=None,
+    note: str = "",
+    max_batches: int | None = None,
+    params=None,
+    batch_stats=None,
+):
+    cfg = load_yaml("", model_dir=model_dir)
+    if override_range is not None:
+        r = override_range
+        new_range = [-r[0], -r[1], -3, r[0], r[1], 1]
+        update_dict(
+            cfg,
+            {
+                "preprocess": {"cav_lidar_range": new_range},
+                "postprocess": {
+                    "gt_range": new_range,
+                    "anchor_args": {"cav_lidar_range": new_range},
+                },
+            },
+        )
+        from ..config.loader import PARSER_REGISTRY
+
+        cfg = PARSER_REGISTRY[cfg.get("yaml_parser", "load_general_params")](cfg)
+
+    dataset = build_dataset(cfg, train=False)
+    model = build_model(cfg["model"])
+
+    if params is None:
+        epoch, path = ckpt_lib.find_checkpoint(model_dir)
+        assert path, f"no checkpoint in {model_dir}"
+        ckpt = ckpt_lib.load_checkpoint(path)
+        params, batch_stats = ckpt["params"], ckpt.get("batch_stats", {})
+        print(f"[inference] loaded {path}")
+
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    infer = jax.jit(lambda b: model.apply(variables, b, train=False))
+
+    post = cfg["postprocess"]
+    anchors = jnp.asarray(dataset.anchors)
+    gt_range = jnp.asarray(post["gt_range"], dtype=jnp.float32)
+    stat = eval_np.new_result_stat((0.3, 0.5, 0.7))
+
+    n_batches = 0
+    for batch in dataset.batches(1, shuffle=False):
+        jbatch = jax.tree.map(jnp.asarray, batch)
+        out = infer(jbatch)
+        det = post_process_single(
+            out["cls_preds"][0],
+            out["reg_preds"][0],
+            out.get("dir_preds", [None])[0] if "dir_preds" in out else None,
+            anchors,
+            jnp.asarray(batch["transformation_matrix"][0]),
+            gt_range,
+            order=post["order"],
+            score_threshold=post["target_args"]["score_threshold"],
+            nms_threshold=post["nms_thresh"],
+        )
+        dense = strip_padding(jax.device_get(det))
+        gt_mask = batch["gt_mask"][0] > 0
+        gt_corners = box_np.boxes_to_corners_3d(
+            batch["gt_boxes"][0][gt_mask], post["order"]
+        )
+        for t in (0.3, 0.5, 0.7):
+            eval_np.calculate_tp_fp(
+                dense["corners"], dense["scores"], gt_corners, stat, t
+            )
+        n_batches += 1
+        if max_batches and n_batches >= max_batches:
+            break
+
+    result = eval_np.eval_final_results(
+        stat, save_path=model_dir, infer_info=note or "intermediate"
+    )
+    return result
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("heal_tpu inference")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--range", default=None, help="e.g. 102.4,102.4")
+    p.add_argument("--note", default="")
+    args = p.parse_args(argv)
+    override = (
+        [float(x) for x in args.range.split(",")] if args.range else None
+    )
+    run_inference(args.model_dir, override, args.note)
+
+
+if __name__ == "__main__":
+    main()

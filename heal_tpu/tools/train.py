@@ -1,0 +1,160 @@
+"""Trainer CLI.
+
+Reference: tools/train.py (:32-189). Usage:
+    python -m heal_tpu.tools.train -y cfg.yaml [--model_dir runs/x]
+Resumes from model_dir/config.yaml + latest checkpoint when model_dir
+holds one. Runs inference in-process at the end (reference shells out).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..config import load_yaml, save_yaml
+from ..data import build_dataset
+from ..losses import build_loss
+from ..models import build_model
+from ..parallel import Trainer
+from ..parallel.freezing import freeze_wrap
+from ..parallel.schedulers import build_optimizer
+from ..parallel.trainer import to_device
+from . import checkpoint as ckpt_lib
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("heal_tpu train")
+    p.add_argument("--hypes_yaml", "-y", required=False, default=None)
+    p.add_argument("--model_dir", default="", help="resume / output dir")
+    p.add_argument("--epochs", type=int, default=None, help="override epochs")
+    p.add_argument("--tag", default="default")
+    p.add_argument("--no_final_inference", action="store_true")
+    p.add_argument("--init_from", default=None,
+                   help="checkpoint path to loosely load before training "
+                        "(HEAL stage-2: the stage-1 collab base)")
+    return p.parse_args(argv)
+
+
+def setup_run_dir(cfg: dict, args) -> str:
+    if args.model_dir:
+        model_dir = args.model_dir
+    else:
+        stamp = time.strftime("%Y_%m_%d_%H_%M_%S")
+        model_dir = os.path.join("heal_tpu_logs", f"{cfg['name']}_{stamp}")
+    os.makedirs(model_dir, exist_ok=True)
+    save_yaml(cfg, os.path.join(model_dir, "config.yaml"))
+    return model_dir
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    assert args.hypes_yaml or args.model_dir, "need -y or --model_dir"
+    cfg = load_yaml(args.hypes_yaml or "", model_dir=args.model_dir or None)
+    model_dir = setup_run_dir(cfg, args)
+
+    train_ds = build_dataset(cfg, train=True)
+    val_ds = build_dataset(cfg, train=False)
+
+    model = build_model(cfg["model"])
+    criterion = build_loss(cfg["loss"])
+
+    batch_size = cfg["train_params"]["batch_size"]
+    epochs = args.epochs or cfg["train_params"]["epoches"]
+    eval_freq = cfg["train_params"].get("eval_freq", 2)
+    save_freq = cfg["train_params"].get("save_freq", 2)
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+
+    tx = build_optimizer(
+        cfg["optimizer"], cfg.get("lr_scheduler"), steps_per_epoch
+    )
+
+    example = to_device(next(train_ds.batches(batch_size, shuffle=False)))
+    trainer = Trainer(
+        model=model,
+        criterion=criterion,
+        tx=tx,
+        supervise_single=cfg["model"]["args"].get("supervise_single", False),
+        single_weight=cfg["loss"]["args"].get("single_weight", 1.0),
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), example)
+
+    # stage-2: loosely load the stage-1 base, then freeze fix_modules
+    fix_modules = getattr(model, "fix_modules", ())
+    if args.init_from:
+        src = ckpt_lib.load_checkpoint(args.init_from)
+        params = jax.tree.map(np.asarray, jax.device_get(state.params))
+        stats = jax.tree.map(np.asarray, jax.device_get(state.batch_stats))
+        ckpt_lib.loose_update(params, src.get("params", {}))
+        ckpt_lib.loose_update(stats, src.get("batch_stats", {}))
+        state = state.replace(params=params, batch_stats=stats)
+    if fix_modules:
+        trainer.tx = freeze_wrap(tx, jax.device_get(state.params), fix_modules)
+        state = state.replace(opt_state=trainer.tx.init(state.params))
+        print(f"[train] frozen modules: {fix_modules}")
+
+    start_epoch = 0
+    ep, path = ckpt_lib.find_checkpoint(model_dir) if args.model_dir else (0, None)
+    if path:
+        src = ckpt_lib.load_checkpoint(path)
+        state = state.replace(
+            params=src["params"], batch_stats=src.get("batch_stats", {})
+        )
+        start_epoch = int(src.get("epoch", ep))
+        print(f"[train] resumed from {path} (epoch {start_epoch})")
+
+    trainer.compile()
+    best_val = float("inf")
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        losses = []
+        for batch in train_ds.batches(batch_size, shuffle=True, seed=epoch):
+            state, aux = trainer.train_step(state, to_device(batch))
+            losses.append(float(aux["total_loss"]))
+        dt = time.time() - t0
+        print(
+            f"[epoch {epoch}] loss {np.mean(losses):.4f} "
+            f"({steps_per_epoch * batch_size / dt:.2f} samples/s)"
+        )
+
+        if (epoch + 1) % save_freq == 0 or epoch == epochs - 1:
+            ckpt_lib.save_checkpoint(
+                model_dir,
+                {
+                    "params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats),
+                },
+                epoch + 1,
+            )
+        if (epoch + 1) % eval_freq == 0 or epoch == epochs - 1:
+            vlosses = [
+                float(
+                    trainer.eval_step(state, to_device(b))["total_loss"]
+                )
+                for b in val_ds.batches(batch_size, shuffle=False)
+            ]
+            vloss = float(np.mean(vlosses)) if vlosses else float("inf")
+            print(f"[epoch {epoch}] val loss {vloss:.4f}")
+            if vloss < best_val:
+                best_val = vloss
+                ckpt_lib.save_checkpoint(
+                    model_dir,
+                    {
+                        "params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats),
+                    },
+                    epoch + 1,
+                    bestval=True,
+                )
+
+    if not args.no_final_inference:
+        from .inference import run_inference
+
+        run_inference(model_dir)
+    return model_dir
+
+
+if __name__ == "__main__":
+    main()

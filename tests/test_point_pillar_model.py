@@ -1,0 +1,163 @@
+import numpy as np
+import pytest
+
+
+MODEL_ARGS = {
+    "voxel_size": [0.4, 0.4, 4],
+    "lidar_range": [-12.8, -6.4, -3, 12.8, 6.4, 1],
+    "anchor_number": 2,
+    "norm": "batch",
+    "pillar_vfe": {
+        "use_norm": True,
+        "with_distance": False,
+        "use_absolute_xyz": True,
+        "num_filters": [64],
+    },
+    "point_pillar_scatter": {"num_features": 64},
+    "base_bev_backbone": {
+        "layer_nums": [2, 2],
+        "layer_strides": [2, 2],
+        "num_filters": [64, 128],
+        "upsample_strides": [1, 2],
+        "num_upsample_filter": [128, 128],
+    },
+    "shrink_header": {
+        "kernal_size": [3],
+        "stride": [1],
+        "padding": [1],
+        "dim": [128],
+        "input_dim": 256,
+    },
+    "dir_args": {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]},
+}
+
+
+@pytest.fixture(scope="module")
+def model_and_batch():
+    import jax
+    import jax.numpy as jnp
+
+    from heal_tpu.models import build_model
+
+    model = build_model({"core_method": "point_pillar", "args": MODEL_ARGS})
+    rng = np.random.default_rng(0)
+    n = 2048
+    pts = np.zeros((2, n, 4), dtype=np.float32)
+    pts[..., 0] = rng.uniform(-12, 12, (2, n))
+    pts[..., 1] = rng.uniform(-6, 6, (2, n))
+    pts[..., 2] = rng.uniform(-2, 0, (2, n))
+    pts[..., 3] = rng.uniform(0, 1, (2, n))
+    mask = np.ones((2, n), dtype=bool)
+    mask[:, 1500:] = False
+    batch = {"points": jnp.asarray(pts), "point_mask": jnp.asarray(mask)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return model, variables, batch
+
+
+class TestPointPillarModel:
+    def test_output_shapes(self, model_and_batch):
+        model, variables, batch = model_and_batch
+        out = model.apply(variables, batch, train=False)
+        # grid 64x32, stride 2 from backbone -> 16x32... W=64 (x), H=32 (y)
+        # bev canvas (B, ny=32, nx=64, C); stride 2 -> (B, 16, 32, ...)
+        assert out["cls_preds"].shape == (2, 16, 32, 2)
+        assert out["reg_preds"].shape == (2, 16, 32, 14)
+        assert out["dir_preds"].shape == (2, 16, 32, 4)
+
+    def test_padding_invariance(self, model_and_batch):
+        """Masked points must not affect the output."""
+        import jax.numpy as jnp
+
+        model, variables, batch = model_and_batch
+        out1 = model.apply(variables, batch, train=False)
+        corrupted = dict(batch)
+        pts = np.asarray(batch["points"]).copy()
+        pts[:, 1500:] = 99.0  # garbage in padded region
+        corrupted["points"] = jnp.asarray(pts)
+        out2 = model.apply(variables, corrupted, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out1["cls_preds"]),
+            np.asarray(out2["cls_preds"]),
+            atol=1e-5,
+        )
+
+    def test_train_mode_updates_batch_stats(self, model_and_batch):
+        import jax
+
+        model, variables, batch = model_and_batch
+        out, mutated = model.apply(
+            variables, batch, train=True, mutable=["batch_stats"]
+        )
+        assert "batch_stats" in mutated
+        leaves = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert len(leaves) > 0
+
+
+class TestLoss:
+    def test_loss_decreases_towards_perfect(self, model_and_batch):
+        """Loss at perfect predictions is lower than at random ones."""
+        import jax.numpy as jnp
+
+        from heal_tpu.losses import build_loss
+        from heal_tpu.postprocess import generate_anchor_box, generate_targets
+
+        anchor_args = {
+            "W": 64,
+            "H": 32,
+            "l": 3.9,
+            "w": 1.6,
+            "h": 1.56,
+            "r": [0, 90],
+            "feature_stride": 2,
+            "num": 2,
+            "vw": 0.4,
+            "vh": 0.4,
+            "vd": 4,
+            "cav_lidar_range": [-12.8, -6.4, -3, 12.8, 6.4, 1],
+        }
+        anchors = generate_anchor_box(anchor_args)
+        gt = np.zeros((3, 7))
+        gt[0] = [2.0, 1.0, -1.0, 1.56, 1.6, 3.9, 0.3]
+        mask = np.array([1.0, 0, 0])
+        label = generate_targets(gt, mask, anchors, 0.6, 0.45, "hwl")
+
+        loss_fn = build_loss(
+            {
+                "core_method": "point_pillar_loss",
+                "args": {
+                    "pos_cls_weight": 2.0,
+                    "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 1.0},
+                    "reg": {"sigma": 3.0, "weight": 2.0},
+                    "dir": {
+                        "weight": 0.2,
+                        "args": {
+                            "dir_offset": 0.7853,
+                            "num_bins": 2,
+                            "anchor_yaw": [0, 90],
+                        },
+                    },
+                },
+            }
+        )
+        h, w, a = 16, 32, 2
+        target = {
+            "pos_equal_one": jnp.asarray(label["pos_equal_one"][None]),
+            "neg_equal_one": jnp.asarray(label["neg_equal_one"][None]),
+            "targets": jnp.asarray(label["targets"][None]),
+        }
+        perfect = {
+            "cls_preds": jnp.where(target["pos_equal_one"] > 0, 9.0, -9.0),
+            "reg_preds": target["targets"],
+            "dir_preds": jnp.zeros((1, h, w, a * 2)),
+        }
+        rng = np.random.default_rng(0)
+        random_out = {
+            "cls_preds": jnp.asarray(rng.normal(0, 1, (1, h, w, a))),
+            "reg_preds": jnp.asarray(rng.normal(0, 1, (1, h, w, a * 7))),
+            "dir_preds": jnp.asarray(rng.normal(0, 1, (1, h, w, a * 2))),
+        }
+        l_perfect, aux_p = loss_fn(perfect, target)
+        l_random, aux_r = loss_fn(random_out, target)
+        assert float(l_perfect) < float(l_random)
+        assert float(aux_p["cls_loss"]) < 0.01
+        assert float(aux_p["reg_loss"]) < 1e-6

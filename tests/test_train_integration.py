@@ -1,0 +1,79 @@
+"""End-to-end integration: synthetic data -> model -> loss -> optimizer."""
+import os
+
+import numpy as np
+import pytest
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+
+def make_trainer(cfg):
+    import jax
+
+    from heal_tpu.data import build_dataset
+    from heal_tpu.losses import build_loss
+    from heal_tpu.models import build_model
+    from heal_tpu.parallel import Trainer
+    from heal_tpu.parallel.schedulers import build_optimizer
+    from heal_tpu.parallel.trainer import to_device
+
+    ds = build_dataset(cfg, train=True)
+    model = build_model(cfg["model"])
+    criterion = build_loss(cfg["loss"])
+    tx = build_optimizer(cfg["optimizer"], cfg.get("lr_scheduler"), 4)
+    trainer = Trainer(
+        model=model,
+        criterion=criterion,
+        tx=tx,
+        supervise_single=cfg["model"]["args"].get("supervise_single", False),
+    ).compile()
+    batch = to_device(next(ds.batches(cfg["train_params"]["batch_size"])))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    return trainer, state, batch, ds
+
+
+class TestIntermediateBaseline:
+    def test_overfit_one_batch(self):
+        from heal_tpu.config import load_yaml
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        trainer, state, batch, _ = make_trainer(cfg)
+        losses = []
+        for _ in range(12):
+            state, aux = trainer.train_step(state, batch)
+            losses.append(float(aux["total_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.5, losses
+
+
+class TestHeterCollab:
+    def test_forward_and_step(self):
+        from heal_tpu.config import load_yaml
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_heter_collab.yaml"))
+        trainer, state, batch, ds = make_trainer(cfg)
+        state, aux = trainer.train_step(state, batch)
+        assert np.isfinite(float(aux["total_loss"]))
+        assert "total_loss_single" in aux
+        state, aux2 = trainer.train_step(state, batch)
+        assert float(aux2["total_loss"]) < float(aux["total_loss"]) * 1.5
+
+    def test_sample_shapes(self):
+        from heal_tpu.config import load_yaml
+        from heal_tpu.data import build_dataset
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_heter_collab.yaml"))
+        ds = build_dataset(cfg, train=True)
+        sample = ds[0]
+        L = cfg["train_params"]["max_cav"]
+        assert sample["agent_mask"].shape == (L,)
+        assert sample["pairwise_affine"].shape == (L, L, 2, 3)
+        assert sample["pos_equal_one_single"].shape[0] == L
+        batch = next(ds.batches(2))
+        assert batch["inputs_m1"]["points"].shape[0] == 2
+        assert batch["slots_m1"].shape == (2, L)
+        # every valid agent appears exactly once in the packing
+        for bi in range(2):
+            packed = set(batch["slots_m1"][bi][batch["slots_m1"][bi] < L])
+            valid = set(np.where(batch["agent_mask"][bi])[0])
+            assert packed == valid

@@ -1,0 +1,57 @@
+import numpy as np
+import pytest
+
+
+class TestAffineWarp:
+    @pytest.mark.parametrize("align_corners", [False, True])
+    def test_matches_torch_grid_sample(self, align_corners):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        import jax.numpy as jnp
+
+        from heal_tpu.ops.warp import affine_warp
+
+        rng = np.random.default_rng(0)
+        h, w, c = 24, 40, 3
+        src = rng.normal(size=(h, w, c)).astype(np.float32)
+        theta = 0.3
+        M = np.array(
+            [
+                [np.cos(theta), -np.sin(theta) * h / w, 0.1],
+                [np.sin(theta) * w / h, np.cos(theta), -0.2],
+            ],
+            dtype=np.float32,
+        )
+        ours = np.asarray(affine_warp(jnp.asarray(src), jnp.asarray(M), align_corners))
+
+        src_t = torch.from_numpy(src).permute(2, 0, 1)[None]  # (1, C, H, W)
+        grid = F.affine_grid(
+            torch.from_numpy(M)[None], [1, c, h, w], align_corners=align_corners
+        )
+        ref = F.grid_sample(src_t, grid, align_corners=align_corners)
+        ref = ref[0].permute(1, 2, 0).numpy()
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+    def test_identity(self):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops.warp import affine_warp
+
+        src = np.random.default_rng(1).normal(size=(16, 16, 2)).astype(np.float32)
+        M = jnp.asarray([[1.0, 0, 0], [0, 1.0, 0]])
+        out = np.asarray(affine_warp(jnp.asarray(src), M))
+        np.testing.assert_allclose(out, src, atol=1e-6)
+
+    def test_translation_shifts_content(self):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops.warp import affine_warp
+
+        h = w = 8
+        src = np.zeros((h, w, 1), dtype=np.float32)
+        src[4, 4] = 1.0
+        # shift sampling by +2 pixels in x: out[y, x] = src[y, x+2]
+        M = jnp.asarray([[1.0, 0, 2.0 * 2 / w], [0, 1.0, 0]])
+        out = np.asarray(affine_warp(jnp.asarray(src), M))
+        assert out[4, 2, 0] == pytest.approx(1.0)
+        assert out[4, 4, 0] == pytest.approx(0.0)
