@@ -54,6 +54,12 @@ class IntermediateAssembler:
         self.modalities = (
             sorted(heter["modality_setting"].keys()) if heter else ["m1"]
         )
+        self.modality_setting = (heter or {}).get("modality_setting", {})
+
+    def sensor_type(self, modality: str) -> str:
+        return self.modality_setting.get(modality, {}).get(
+            "sensor_type", "lidar"
+        )
 
     # ------------------------------------------------------------------
     def assemble(self, scene: dict) -> dict:
@@ -137,6 +143,8 @@ class IntermediateAssembler:
             "transformation_matrix": np.eye(4, dtype=np.float32),
         }
 
+        self._pack_modalities(sample, scene, keep, modality)
+
         if self.supervise_single:
             pos_s, neg_s, tgt_s = [], [], []
             for slot in range(L):
@@ -162,6 +170,110 @@ class IntermediateAssembler:
         return sample
 
     # ------------------------------------------------------------------
+    def _pack_modalities(self, sample, scene, keep, modality):
+        """Emit per-sample per-modality packed inputs + slot indices.
+
+        slots_mX: (L,) agent-slot per packed entry (dump slot = L).
+        Lidar modalities pack (points, point_mask); camera modalities pack
+        (imgs, intrins, rots, trans, post_rots, post_trans, depth_bins).
+        """
+        L = self.max_cav
+        for m in self.modalities:
+            slots = np.full(L, L, dtype=np.int32)
+            entries = [
+                slot for slot, _ in enumerate(keep) if modality[slot] == m
+            ]
+            for j, slot in enumerate(entries):
+                slots[j] = slot
+            sample[f"slots_{m}"] = slots
+            if self.sensor_type(m) == "lidar":
+                pts = np.zeros((L,) + sample["points"].shape[1:], np.float32)
+                msk = np.zeros((L,) + sample["point_mask"].shape[1:], bool)
+                for j, slot in enumerate(entries):
+                    pts[j] = sample["points"][slot]
+                    msk[j] = sample["point_mask"][slot]
+                sample[f"inputs_{m}"] = {"points": pts, "point_mask": msk}
+            else:
+                sample[f"inputs_{m}"] = self._pack_cameras(
+                    scene, keep, entries, m, L
+                )
+
+    def _pack_cameras(self, scene, keep, entries, m, L):
+        """Assemble fixed-shape camera arrays for modality m."""
+        from ..utils import camera as cam_utils
+
+        setting = self.modality_setting[m]
+        aug = setting["data_aug_conf"]
+        ih, iw = aug["final_dim"]
+        ncam = aug.get("Ncams", 4)
+        gc = setting["grid_conf"]
+        d_min, d_max, n_bins = gc["ddiscr"]
+        ds = setting.get("img_downsample", 16)
+        fh, fw = ih // ds, iw // ds
+
+        out = {
+            "imgs": np.zeros((L, ncam, ih, iw, 3), np.float32),
+            "intrins": np.tile(np.eye(3, dtype=np.float32), (L, ncam, 1, 1)),
+            "rots": np.tile(np.eye(3, dtype=np.float32), (L, ncam, 1, 1)),
+            "trans": np.zeros((L, ncam, 3), np.float32),
+            "post_rots": np.tile(np.eye(3, dtype=np.float32), (L, ncam, 1, 1)),
+            "post_trans": np.zeros((L, ncam, 3), np.float32),
+            "depth_bins": np.full((L, ncam, fh, fw), n_bins, np.int32),
+        }
+        for j, slot in enumerate(entries):
+            agent = scene["agents"][keep[slot]]
+            cams = agent.get("cameras")
+            if cams is None:
+                # synthesize a rig: structured noise images + exact calib,
+                # depth maps rendered from the agent's own lidar geometry
+                rng = np.random.default_rng(
+                    abs(hash((id(scene) % 997, slot))) % (2**31)
+                )
+                rig = cam_utils.default_camera_rig(ncam)
+                K = cam_utils.default_intrinsics(ih, iw)
+                imgs, intr, rots, trans = [], [], [], []
+                for rot, tr in rig:
+                    imgs.append(
+                        rng.normal(0.45, 0.2, (ih, iw, 3)).astype(np.float32)
+                    )
+                    intr.append(K)
+                    rots.append(rot)
+                    trans.append(tr)
+                cams = {
+                    "imgs": np.stack(imgs),
+                    "intrins": np.stack(intr).astype(np.float32),
+                    "rots": np.stack(rots).astype(np.float32),
+                    "trans": np.stack(trans).astype(np.float32),
+                }
+            for key in ("imgs", "intrins", "rots", "trans"):
+                out[key][j] = cams[key]
+            if "post_rots" in cams:
+                out["post_rots"][j] = cams["post_rots"]
+                out["post_trans"][j] = cams["post_trans"]
+            # depth supervision from the agent's (simulated or real) lidar
+            pts = np.asarray(agent.get("points"), np.float32)
+            if pts is not None and len(pts):
+                for ci in range(ncam):
+                    depth = cam_utils.render_depth_map(
+                        pts,
+                        out["rots"][j, ci],
+                        out["trans"][j, ci],
+                        out["intrins"][j, ci],
+                        ih,
+                        iw,
+                        ds,
+                    )
+                    bins, mask = cam_utils.bin_depths(
+                        np.where(depth > 0, depth, np.nan),
+                        gc["mode"],
+                        d_min,
+                        d_max,
+                        n_bins,
+                        target=True,
+                    )
+                    out["depth_bins"][j, ci] = bins
+        return out
+
     def _range_filter(self, points: np.ndarray) -> np.ndarray:
         r = self.cav_range
         m = (
@@ -199,39 +311,23 @@ class IntermediateAssembler:
         return out, mask
 
 
+def _stack(values):
+    if isinstance(values[0], dict):
+        return {k: _stack([v[k] for v in values]) for k in values[0]}
+    return np.stack(values)
+
+
 def collate(samples: list, modalities=("m1",)) -> dict:
-    """Stack samples and build per-modality packed inputs + slot indices.
+    """Stack samples (including nested per-modality input dicts).
 
     All arrays are batch-major ((B, ...)) so the whole batch shards over a
-    data-parallel mesh axis. ``slots_mX`` is (B, L_m) with values in
-    [0, L]; L is the per-sample dump slot for padding; L_m = L (worst
-    case) keeps shapes static across batches.
+    data-parallel mesh axis; the assembler already emitted per-sample
+    ``inputs_mX``/``slots_mX`` packings with static per-modality capacity.
     """
     batch = {}
     for k in samples[0].keys():
         if k == "agent_samples":  # late-fusion test-time per-agent list
             batch[k] = [s[k] for s in samples]
             continue
-        batch[k] = np.stack([s[k] for s in samples])
-
-    if "agent_mask" not in batch:  # single-agent (late/early) samples
-        return batch
-    b, l = batch["agent_mask"].shape
-    for mi, m in enumerate(modalities):
-        slots = np.full((b, l), l, dtype=np.int32)
-        pts = np.zeros((b, l) + batch["points"].shape[2:], dtype=np.float32)
-        msk = np.zeros((b, l) + batch["point_mask"].shape[2:], dtype=bool)
-        for bi in range(b):
-            n = 0
-            for li in range(l):
-                if (
-                    batch["agent_mask"][bi, li]
-                    and batch["agent_modality"][bi, li] == mi
-                ):
-                    slots[bi, n] = li
-                    pts[bi, n] = batch["points"][bi, li]
-                    msk[bi, n] = batch["point_mask"][bi, li]
-                    n += 1
-        batch[f"inputs_{m}"] = {"points": pts, "point_mask": msk}
-        batch[f"slots_{m}"] = slots
+        batch[k] = _stack([s[k] for s in samples])
     return batch

@@ -83,6 +83,23 @@ def direction_targets(
     return jax.nn.one_hot(bins, num_bins)
 
 
+def depth_focal_loss(logits, gt_bins, alpha: float = 0.25, gamma: float = 2.0):
+    """Categorical focal loss over depth bins (LSS depth supervision,
+    ref loss/point_pillar_depth_loss.py). gt == num_bins means "no lidar
+    return" and is ignored.
+
+    logits: (N, fH, fW, D); gt_bins: (N, fH, fW) int.
+    """
+    d = logits.shape[-1]
+    valid = (gt_bins < d).astype(logits.dtype)
+    onehot = jax.nn.one_hot(jnp.clip(gt_bins, 0, d - 1), d)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(logp)
+    focal = alpha * (1.0 - p) ** gamma * (-logp)
+    loss = (onehot * focal).sum(-1) * valid
+    return loss.sum() / jnp.maximum(valid.sum(), 1.0)
+
+
 @register_loss("point_pillar_loss")
 class PointPillarLoss:
     def __init__(self, args: dict):
@@ -147,6 +164,26 @@ class PointPillarLoss:
             ] / b
             total = total + dir_loss
             aux["dir_loss"] = dir_loss
+
+        # LSS depth supervision on any camera modality present
+        if "depth" in self.args:
+            dsum = 0.0
+            found = False
+            for key, logits in output_dict.items():
+                if not key.startswith("depth_items_"):
+                    continue
+                m = key.rsplit("_", 1)[-1]
+                tkey = f"depth_bins_{m}"
+                if tkey not in target_dict:
+                    continue
+                gt = target_dict[tkey]
+                gt = gt.reshape((-1,) + gt.shape[-2:])
+                dsum = dsum + depth_focal_loss(logits, gt)
+                found = True
+            if found:
+                dloss = dsum * self.args["depth"]["weight"]
+                total = total + dloss
+                aux["depth_loss"] = dloss
 
         aux["total_loss"] = total
         return total, aux

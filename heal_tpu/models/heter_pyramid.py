@@ -25,6 +25,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .aligner import AlignNet
 from .encoders import PointPillarEncoder
@@ -40,6 +41,43 @@ MODALITY_KEYS = ("m1", "m2", "m3", "m4")
 
 def modality_list(args: dict):
     return [m for m in MODALITY_KEYS if m in args]
+
+
+def center_crop_or_pad(feat: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
+    """Center crop/zero-pad (N, H, W, C) to (N, th, tw, C).
+
+    Equivalent of the reference's torchvision CenterCrop on camera BEV
+    features (heter_pyramid_collab.py:153-167) — with a camera grid
+    smaller than the lidar range this PADS with zeros.
+    """
+    n, h, w, c = feat.shape
+    if h > th:
+        start = (h - th) // 2
+        feat = feat[:, start : start + th]
+    elif h < th:
+        pad = th - h
+        feat = jnp.pad(feat, ((0, 0), (pad // 2, pad - pad // 2), (0, 0), (0, 0)))
+    n, h, w, c = feat.shape
+    if w > tw:
+        start = (w - tw) // 2
+        feat = feat[:, :, start : start + tw]
+    elif w < tw:
+        pad = tw - w
+        feat = jnp.pad(feat, ((0, 0), (0, 0), (pad // 2, pad - pad // 2), (0, 0)))
+    return feat
+
+
+def camera_fov_mask(h: int, w: int, crop_ratio_h: float, crop_ratio_w: float):
+    """(h, w, 1) mask: 1 inside the camera-covered central region, 0 in
+    the zero-padded border (minus a 4-pixel guard band, as the reference's
+    eval-time crop mask, pyramid_fuse.py:147-162)."""
+    vis_h = min(h, int(h / crop_ratio_h) - 4)
+    vis_w = min(w, int(w / crop_ratio_w) - 4)
+    mask = np.zeros((h, w, 1), np.float32)
+    y0 = (h - vis_h) // 2
+    x0 = (w - vis_w) // 2
+    mask[y0 : y0 + vis_h, x0 : x0 + vis_w] = 1.0
+    return jnp.asarray(mask)
 
 
 class ModalityBranch(nn.Module):
@@ -103,13 +141,15 @@ class ModalityBranch(nn.Module):
 
     def __call__(self, inputs: dict, train: bool = False):
         """inputs: modality-packed sensor arrays with a leading flat agent
-        axis. Returns (N_packed, h, w, C) aligned BEV features."""
-        if isinstance(self.encoder, PointPillarEncoder):
+        axis. Returns ((N_packed, h, w, C) aligned BEV features, aux)."""
+        aux = {}
+        if self.cfg.get("sensor_type", "lidar") == "camera":
+            feat, depth_logits = self.encoder(inputs, train)
+            aux["depth_logits"] = depth_logits
+        else:  # lidar encoders share the (points, mask) interface
             feat = self.encoder(inputs["points"], inputs["point_mask"], train)
-        else:
-            feat = self.encoder(inputs, train)
         feat = self.backbone(feat, train)
-        return self.aligner(feat, train)
+        return self.aligner(feat, train), aux
 
 
 @register_model("heter_pyramid_collab")
@@ -159,16 +199,43 @@ class HeterPyramidCollab(nn.Module):
         agent_mask = batch["agent_mask"]
         b, l = agent_mask.shape
 
+        # lidar grid at the collaboration stride defines the target dims
+        lidar_range = a["lidar_range"]
+
         feat_all = None
+        out_aux = {}
+        cam_mask_by_modality = {}
         for m in self.modalities:
             if f"inputs_{m}" not in batch:
                 continue
             inputs = batch[f"inputs_{m}"]
-            lm = inputs["points"].shape[1] if "points" in inputs else l
+            lead = jax.tree.leaves(inputs)[0]
+            lm = lead.shape[1]
             flat = jax.tree.map(
                 lambda x: x.reshape((b * lm,) + x.shape[2:]), inputs
             )
-            feat = self.branches[m](flat, train)  # (B*L_m, h, w, C)
+            feat, aux = self.branches[m](flat, train)  # (B*L_m, h, w, C)
+            if aux.get("depth_logits") is not None:
+                out_aux[f"depth_items_{m}"] = aux["depth_logits"]
+            if a[m].get("sensor_type", "lidar") == "camera":
+                # pad/crop camera BEV to the lidar grid + remember FOV
+                gc = a[m]["encoder_args"]["grid_conf"]
+                ratio_w = lidar_range[3] / gc["xbound"][1]
+                ratio_h = lidar_range[4] / gc["ybound"][1]
+                if feat_all is not None:
+                    th, tw = feat_all.shape[2], feat_all.shape[3]
+                else:
+                    # same spatial stride as the camera branch's own grid
+                    scale_h = (lidar_range[4] - lidar_range[1]) / (
+                        gc["ybound"][1] - gc["ybound"][0]
+                    )
+                    scale_w = (lidar_range[3] - lidar_range[0]) / (
+                        gc["xbound"][1] - gc["xbound"][0]
+                    )
+                    th = int(round(feat.shape[1] * scale_h))
+                    tw = int(round(feat.shape[2] * scale_w))
+                feat = center_crop_or_pad(feat, th, tw)
+                cam_mask_by_modality[m] = (ratio_h, ratio_w)
             feat = feat.reshape((b, lm) + feat.shape[1:])
             if feat_all is None:
                 h, w, c = feat.shape[2:]
@@ -184,11 +251,27 @@ class HeterPyramidCollab(nn.Module):
             flat = feat_all.reshape((b * l,) + feat_all.shape[2:])
             feat_all = self.compressor(flat, train).reshape(feat_all.shape)
 
+        # eval-time camera-FOV score masks per pyramid level
+        crop_mask_list = None
+        if not train and cam_mask_by_modality:
+            h, w = feat_all.shape[2], feat_all.shape[3]
+            strides = np.cumprod(a["fusion_backbone"]["layer_strides"])
+            crop_mask_list = []
+            for s in strides:
+                hl, wl = h // int(s), w // int(s)
+                level = jnp.ones((b, l + 1, hl, wl, 1), feat_all.dtype)
+                for m, (rh, rw) in cam_mask_by_modality.items():
+                    mask = camera_fov_mask(hl, wl, rh, rw)
+                    level = jax.vmap(
+                        lambda lv, slots: lv.at[slots].set(mask)
+                    )(level, batch[f"slots_{m}"])
+                crop_mask_list.append(level[:, :l])
+
         fused, occ_list = self.pyramid_backbone.forward_collab(
             feat_all,
             batch["pairwise_affine"],
             agent_mask,
-            crop_mask_list=batch.get("crop_mask_list"),
+            crop_mask_list=crop_mask_list,
             train=train,
         )
         if self.shrink is not None:
@@ -196,6 +279,7 @@ class HeterPyramidCollab(nn.Module):
         out = self.heads(fused)
         out["pyramid"] = "collab"
         out["occ_single_list"] = occ_list
+        out.update(out_aux)
         return out
 
 
@@ -234,11 +318,21 @@ class HeterPyramidSingle(nn.Module):
         )
 
     def __call__(self, batch: dict, train: bool = False):
-        feat = self.branch(batch[f"inputs_{self.modality}"], train)
+        inputs = batch[f"inputs_{self.modality}"]
+        lead = jax.tree.leaves(inputs)[0]
+        if lead.ndim > 2 and "agent_mask" in batch:
+            # batched (B, L_m, ...) packing -> flatten agents
+            b, lm = lead.shape[:2]
+            inputs = jax.tree.map(
+                lambda x: x.reshape((b * lm,) + x.shape[2:]), inputs
+            )
+        feat, aux = self.branch(inputs, train)
         fused, occ_list = self.pyramid_backbone.forward_single(feat, train)
         if self.shrink is not None:
             fused = self.shrink(fused, train)
         out = self.heads(fused)
         out["pyramid"] = "single"
         out["occ_single_list"] = occ_list
+        if aux.get("depth_logits") is not None:
+            out[f"depth_items_{self.modality}"] = aux["depth_logits"]
         return out

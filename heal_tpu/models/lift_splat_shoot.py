@@ -1,0 +1,194 @@
+"""Lift-Splat-Shoot camera encoder (multi-cam images -> BEV features).
+
+Capability parity with reference models/heter_encoders.py:83-301
+(LiftSplatShoot / LiftSplatShootVoxel) + sub_modules/lss_submodule.py:
+a CNN image backbone with a categorical depth head, frustum unprojection
+through intrinsics/extrinsics, and a depth-weighted splat into the BEV
+grid.
+
+TPU-first choices:
+  * image backbone is a compact ResNet-style flax CNN with the same
+    interface (features at /16 and /8 merged, 1x1 depth + feature heads);
+    capability, not EfficientNet-weight, parity;
+  * the voxel-pooling "cumsum trick" (:161-217) becomes the same
+    sorted-segment-sum primitive as the pillar encoder — sort frustum
+    points by BEV cell, segment_sum with indices_are_sorted=True (fast
+    TPU scatter path); the Voxel variant uses segment_max.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.camera import depth_discretization, gen_dx_bx
+from .layers import ConvNormAct
+
+
+class Up(nn.Module):
+    """Upsample + concat skip + double conv (ref lss_submodule.Up)."""
+
+    features: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        b, h, w, c = skip.shape
+        x = jax.image.resize(x, (b, h, w, x.shape[-1]), "bilinear")
+        x = jnp.concatenate([x, skip], axis=-1)
+        x = ConvNormAct(self.features, 3, 1, norm=self.norm)(x, train)
+        return ConvNormAct(self.features, 3, 1, norm=self.norm)(x, train)
+
+
+class CameraEncoder(nn.Module):
+    """Image backbone + depth/feature heads.
+
+    imgs (N, H, W, 3) -> (depth_logits (N, fH, fW, D),
+                          features (N, fH, fW, C)) at stride 16.
+    """
+
+    depth_bins: int
+    features: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        widths = (32, 48, 96, 160, 320)
+        x = ConvNormAct(widths[0], 3, 2, norm=self.norm)(x, train)  # /2
+        skips = {}
+        for i, w in enumerate(widths[1:], start=1):
+            x = ConvNormAct(w, 3, 2, norm=self.norm)(x, train)
+            x = ConvNormAct(w, 3, 1, norm=self.norm)(x, train)
+            skips[2 ** (i + 1)] = x
+        x = Up(512, norm=self.norm)(skips[32], skips[16], train)  # -> /16
+        depth = nn.Conv(self.depth_bins, (1, 1), name="depth_head")(x)
+        feat = nn.Conv(self.features, (1, 1), name="image_head")(x)
+        return depth, feat
+
+
+class LiftSplatShootEncoder(nn.Module):
+    """args: grid_conf {xbound, ybound, zbound, ddiscr, mode},
+    data_aug_conf {final_dim}, img_downsample, img_features,
+    (depth_supervision), (pool: 'sum'|'max')."""
+
+    args: Any
+    norm: str = "batch"
+
+    @property
+    def grid(self):
+        gc = self.args["grid_conf"]
+        return gen_dx_bx(gc["xbound"], gc["ybound"], gc["zbound"])
+
+    def setup(self):
+        gc = self.args["grid_conf"]
+        self.depth_values = depth_discretization(*gc["ddiscr"], gc["mode"])
+        self.D = len(self.depth_values)
+        self.C = self.args["img_features"]
+        self.downsample = self.args.get("img_downsample", 16)
+        self.cam_encoder = CameraEncoder(
+            depth_bins=self.D, features=self.C, norm=self.norm
+        )
+
+    def frustum(self, fh: int, fw: int):
+        """(D, fH, fW, 3) of (u_px, v_px, depth) in final-image coords."""
+        ogf_h = fh * self.downsample
+        ogf_w = fw * self.downsample
+        ds = np.asarray(self.depth_values, np.float32)[:, None, None]
+        xs = np.linspace(0, ogf_w - 1, fw, dtype=np.float32)[None, None, :]
+        ys = np.linspace(0, ogf_h - 1, fh, dtype=np.float32)[None, :, None]
+        ds, ys, xs = np.broadcast_arrays(
+            ds, ys, xs
+        )
+        return jnp.asarray(np.stack([xs, ys, ds], axis=-1))
+
+    def geometry(self, fh, fw, rots, trans, intrins, post_rots, post_trans):
+        """Frustum -> agent-frame 3D points. rots/trans: cam->agent.
+        (N_cam, ...) -> (N_cam, D, fH, fW, 3)."""
+        pts = self.frustum(fh, fw)  # (D, fH, fW, 3)
+        pts = pts[None] - post_trans[:, None, None, None, :]
+        inv_post = jnp.linalg.inv(post_rots)  # (N, 3, 3)
+        pts = jnp.einsum("nij,ndhwj->ndhwi", inv_post, pts)
+        # (u, v, d) -> (du, dv, d)
+        pts = jnp.concatenate(
+            [pts[..., :2] * pts[..., 2:3], pts[..., 2:3]], axis=-1
+        )
+        combine = jnp.einsum("nij,njk->nik", rots, jnp.linalg.inv(intrins))
+        pts = jnp.einsum("nij,ndhwj->ndhwi", combine, pts)
+        return pts + trans[:, None, None, None, :]
+
+    def __call__(self, inputs: dict, train: bool = False):
+        """inputs: imgs (B, N, H, W, 3), rots/post_rots (B, N, 3, 3),
+        trans/post_trans (B, N, 3), intrins (B, N, 3, 3).
+        Returns (B, ny, nx, C) BEV + depth logits (B*N, fH, fW, D)."""
+        imgs = inputs["imgs"]
+        b, n, ih, iw, _ = imgs.shape
+        fh, fw = ih // self.downsample, iw // self.downsample
+
+        depth_logits, feat = self.cam_encoder(
+            imgs.reshape(b * n, ih, iw, 3), train
+        )
+        depth_prob = jax.nn.softmax(depth_logits, axis=-1)  # (B*N,fH,fW,D)
+        # outer product: (B*N, D, fH, fW, C)
+        volume = (
+            depth_prob.transpose(0, 3, 1, 2)[..., None]
+            * feat[:, None, :, :, :]
+        )
+        volume = volume.reshape(b, n, self.D, fh, fw, self.C)
+
+        geom = jax.vmap(
+            lambda r, t, k, pr, pt: self.geometry(fh, fw, r, t, k, pr, pt)
+        )(
+            inputs["rots"],
+            inputs["trans"],
+            inputs["intrins"],
+            inputs["post_rots"],
+            inputs["post_trans"],
+        )  # (B, N, D, fH, fW, 3)
+
+        bev = jax.vmap(self._splat)(
+            geom.reshape(b, -1, 3), volume.reshape(b, -1, self.C)
+        )
+        return bev, depth_logits
+
+    def _splat(self, pts, feats):
+        """One sample: (P, 3) agent-frame points + (P, C) features ->
+        (ny, nx, C) via sorted segment pooling."""
+        dx, bx, nx = self.grid
+        xi = jnp.floor(
+            (pts[:, 0] - (bx[0] - dx[0] / 2)) / dx[0]
+        ).astype(jnp.int32)
+        yi = jnp.floor(
+            (pts[:, 1] - (bx[1] - dx[1] / 2)) / dx[1]
+        ).astype(jnp.int32)
+        zi = jnp.floor(
+            (pts[:, 2] - (bx[2] - dx[2] / 2)) / dx[2]
+        ).astype(jnp.int32)
+        n_x, n_y, n_z = int(nx[0]), int(nx[1]), int(nx[2])
+        valid = (
+            (xi >= 0) & (xi < n_x) & (yi >= 0) & (yi < n_y)
+            & (zi >= 0) & (zi < n_z)
+        )
+        cells = n_x * n_y
+        ids = jnp.where(valid, yi * n_x + xi, cells)
+        order = jnp.argsort(ids)
+        ids_s = ids[order]
+        feats_s = jnp.take(feats, order, axis=0)
+        feats_s = feats_s * (ids_s < cells)[:, None]
+        pool = self.args.get("pool", "sum")
+        if pool == "max":
+            canvas = jax.ops.segment_max(
+                feats_s, ids_s, num_segments=cells + 1,
+                indices_are_sorted=True,
+            )
+            canvas = jnp.maximum(
+                jnp.where(jnp.isfinite(canvas), canvas, 0.0), 0.0
+            )
+        else:
+            canvas = jax.ops.segment_sum(
+                feats_s, ids_s, num_segments=cells + 1,
+                indices_are_sorted=True,
+            )
+        return canvas[:cells].reshape(n_y, n_x, self.C)

@@ -1,0 +1,264 @@
+"""Sparse 3D convolution primitives (SECOND backbone) — TPU-native.
+
+Replaces spconv (reference sub_modules/sparse_backbone_3d.py + the
+external spconv library) with a fixed-capacity, sort-based implicit-GEMM
+formulation that maps onto XLA:
+
+  * active voxels live in capacity-``V`` arrays: sorted linear ``keys``
+    (z*H*W + y*W + x; padding = INT32_MAX), ``coords`` (V, 3) and
+    ``feats`` (V, C);
+  * the "rulebook" is implicit: for each of the 27 kernel offsets the
+    neighbor's key is formed arithmetically and found with a vectorized
+    binary search (jnp.searchsorted) in the sorted key array — no host
+    rulebook build, no hash tables;
+  * each offset contributes gather -> (V, Cin) @ W_o -> scatter-free
+    accumulate, so the FLOPs run as 27 dense MXU GEMMs;
+  * strided convolution generates exact spconv-style output sites
+    (k=3, s=2, p=1: each input contributes to <= 8 candidate outputs)
+    via sort-dedup compaction at fixed capacity.
+
+All shapes static; batched via vmap.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID = np.int32(2**31 - 1)
+
+
+def linear_key(coords, grid_zyx):
+    """coords (V, 3) [z, y, x] -> sorted-friendly linear key."""
+    d, h, w = grid_zyx
+    return coords[:, 0] * (h * w) + coords[:, 1] * w + coords[:, 2]
+
+
+def voxelize_points(points, mask, lidar_range, voxel_size, max_voxels):
+    """Points -> mean-feature voxels (MeanVFE + spconv voxelizer parity).
+
+    points: (N, 4); mask: (N,). Returns dict with
+    keys (V,) sorted, coords (V, 3) [z, y, x], feats (V, 4) per-voxel mean,
+    valid (V,).
+    """
+    x0, y0, z0, x1, y1, z1 = lidar_range
+    vx, vy, vz = voxel_size
+    nx = int(round((x1 - x0) / vx))
+    ny = int(round((y1 - y0) / vy))
+    nz = int(round((z1 - z0) / vz))
+
+    xi = jnp.floor((points[:, 0] - x0) / vx).astype(jnp.int32)
+    yi = jnp.floor((points[:, 1] - y0) / vy).astype(jnp.int32)
+    zi = jnp.floor((points[:, 2] - z0) / vz).astype(jnp.int32)
+    ok = (
+        mask
+        & (xi >= 0) & (xi < nx)
+        & (yi >= 0) & (yi < ny)
+        & (zi >= 0) & (zi < nz)
+    )
+    key = zi * (ny * nx) + yi * nx + xi
+    key = jnp.where(ok, key, INVALID)
+
+    order = jnp.argsort(key)
+    key_s = key[order]
+    pts_s = jnp.take(points, order, axis=0)
+    okf = (key_s != INVALID).astype(points.dtype)[:, None]
+
+    # unique compaction: head flags -> ranks -> scatter to capacity V
+    head = jnp.concatenate(
+        [jnp.ones(1, bool), key_s[1:] != key_s[:-1]]
+    ) & (key_s != INVALID)
+    rank = jnp.cumsum(head.astype(jnp.int32)) - 1  # id of the voxel
+    rank = jnp.where(head | (key_s != INVALID), rank, max_voxels)
+    rank = jnp.minimum(rank, max_voxels)
+
+    seg_sum = jax.ops.segment_sum(
+        jnp.concatenate([pts_s * okf, okf], axis=-1),
+        rank,
+        num_segments=max_voxels + 1,
+        indices_are_sorted=True,
+    )
+    feats = seg_sum[:max_voxels, :4] / jnp.maximum(
+        seg_sum[:max_voxels, 4:5], 1.0
+    )
+    keys_out = jnp.full((max_voxels,), INVALID, jnp.int32)
+    keys_out = keys_out.at[jnp.where(head, rank, max_voxels)].set(
+        jnp.where(head, key_s, INVALID), mode="drop"
+    )
+    valid = keys_out != INVALID
+    kk = jnp.where(valid, keys_out, 0)
+    coords = jnp.stack(
+        [kk // (ny * nx), (kk // nx) % ny, kk % nx], axis=1
+    ).astype(jnp.int32)
+    return {
+        "keys": keys_out,
+        "coords": jnp.where(valid[:, None], coords, 0),
+        "feats": feats,
+        "valid": valid,
+        "grid": (nz, ny, nx),
+    }
+
+
+def _offsets(k: int = 3):
+    r = range(-(k // 2), k // 2 + 1)
+    return [(dz, dy, dx) for dz in r for dy in r for dx in r]
+
+
+def gather_neighbor(keys, coords, valid, grid_zyx, offset):
+    """Index of the active voxel at coords+offset (or V, the miss slot)."""
+    d, h, w = grid_zyx
+    dz, dy, dx = offset
+    nz = coords[:, 0] + dz
+    ny_ = coords[:, 1] + dy
+    nx_ = coords[:, 2] + dx
+    in_bounds = (
+        valid
+        & (nz >= 0) & (nz < d)
+        & (ny_ >= 0) & (ny_ < h)
+        & (nx_ >= 0) & (nx_ < w)
+    )
+    nk = nz * (h * w) + ny_ * w + nx_
+    pos = jnp.searchsorted(keys, nk)
+    pos = jnp.clip(pos, 0, keys.shape[0] - 1)
+    found = in_bounds & (keys[pos] == nk)
+    return jnp.where(found, pos, keys.shape[0]), found
+
+
+def subm_conv(sp, weights, bias=None):
+    """Submanifold 3x3x3 conv: outputs only at existing active sites.
+
+    sp: dict from voxelize_points (keys sorted). weights: (27, Cin, Cout).
+    Returns new feats (V, Cout).
+    """
+    keys, coords, valid = sp["keys"], sp["coords"], sp["valid"]
+    feats = sp["feats"]
+    v, cin = feats.shape
+    cout = weights.shape[-1]
+    feats_pad = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0
+    )
+    out = jnp.zeros((v, cout), feats.dtype)
+    for i, off in enumerate(_offsets()):
+        idx, _ = gather_neighbor(keys, coords, valid, sp["grid"], off)
+        gathered = jnp.take(feats_pad, idx, axis=0)
+        out = out + jnp.dot(
+            gathered, weights[i], preferred_element_type=out.dtype
+        )
+    if bias is not None:
+        out = out + bias
+    return out * valid[:, None]
+
+
+def downsample_sites(sp, max_out, stride=(2, 2, 2), padding=(1, 1, 1)):
+    """Exact spconv SparseConv3d(k=3, s=2, p=1) output-site generation.
+
+    Each input coord c contributes to output o per axis where
+    2o - p <= c <= 2o - p + 2, i.e. up to 2 options per axis -> 8
+    candidates. Sort-dedup to capacity ``max_out``.
+    """
+    coords, valid = sp["coords"], sp["valid"]
+    d, h, w = sp["grid"]
+    od, oh, ow = (
+        (d + 2 * padding[0] - 3) // stride[0] + 1,
+        (h + 2 * padding[1] - 3) // stride[1] + 1,
+        (w + 2 * padding[2] - 3) // stride[2] + 1,
+    )
+    cand_keys = []
+    for bz in (0, 1):
+        for by in (0, 1):
+            for bx in (0, 1):
+                oz = (coords[:, 0] + padding[0]) // stride[0] - bz
+                oy = (coords[:, 1] + padding[1]) // stride[1] - by
+                ox = (coords[:, 2] + padding[2]) // stride[2] - bx
+                ok = (
+                    valid
+                    & (oz >= 0) & (oz < od)
+                    & (oy >= 0) & (oy < oh)
+                    & (ox >= 0) & (ox < ow)
+                    # the candidate must actually cover c:
+                    # receptive field of o on axis: [2o - p, 2o - p + 2]
+                    & (coords[:, 0] >= 2 * oz - padding[0])
+                    & (coords[:, 0] <= 2 * oz - padding[0] + 2)
+                    & (coords[:, 1] >= 2 * oy - padding[1])
+                    & (coords[:, 1] <= 2 * oy - padding[1] + 2)
+                    & (coords[:, 2] >= 2 * ox - padding[2])
+                    & (coords[:, 2] <= 2 * ox - padding[2] + 2)
+                )
+                k = oz * (oh * ow) + oy * ow + ox
+                cand_keys.append(jnp.where(ok, k, INVALID))
+    cand = jnp.concatenate(cand_keys)  # (8V,)
+    cand = jnp.sort(cand)
+    head = jnp.concatenate([jnp.ones(1, bool), cand[1:] != cand[:-1]]) & (
+        cand != INVALID
+    )
+    rank = jnp.minimum(jnp.cumsum(head.astype(jnp.int32)) - 1, max_out)
+    keys_out = jnp.full((max_out,), INVALID, jnp.int32)
+    keys_out = keys_out.at[jnp.where(head, rank, max_out)].set(
+        jnp.where(head, cand, INVALID), mode="drop"
+    )
+    valid_out = keys_out != INVALID
+    kk = jnp.where(valid_out, keys_out, 0)
+    coords_out = jnp.stack(
+        [kk // (oh * ow), (kk // ow) % oh, kk % ow], axis=1
+    ).astype(jnp.int32)
+    return {
+        "keys": keys_out,
+        "coords": jnp.where(valid_out[:, None], coords_out, 0),
+        "valid": valid_out,
+        "grid": (od, oh, ow),
+    }
+
+
+def strided_conv(sp, out_sites, weights, bias=None, padding=(1, 1, 1)):
+    """SparseConv3d k=3 s=2 p=1: out[o] = sum_delta W_d * in[2o - p + d]."""
+    keys, coords, valid = sp["keys"], sp["coords"], sp["valid"]
+    feats = sp["feats"]
+    v, cin = feats.shape
+    cout = weights.shape[-1]
+    feats_pad = jnp.concatenate(
+        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0
+    )
+    oc = out_sites["coords"]
+    ovalid = out_sites["valid"]
+    out = jnp.zeros((oc.shape[0], cout), feats.dtype)
+    d, h, w = sp["grid"]
+    for i, (dz, dy, dx) in enumerate(_offsets()):
+        cz = 2 * oc[:, 0] - padding[0] + dz + 1
+        cy = 2 * oc[:, 1] - padding[1] + dy + 1
+        cx = 2 * oc[:, 2] - padding[2] + dx + 1
+        in_b = (
+            ovalid
+            & (cz >= 0) & (cz < d)
+            & (cy >= 0) & (cy < h)
+            & (cx >= 0) & (cx < w)
+        )
+        nk = cz * (h * w) + cy * w + cx
+        pos = jnp.clip(jnp.searchsorted(keys, nk), 0, v - 1)
+        found = in_b & (keys[pos] == nk)
+        idx = jnp.where(found, pos, v)
+        gathered = jnp.take(feats_pad, idx, axis=0)
+        out = out + jnp.dot(
+            gathered, weights[i], preferred_element_type=out.dtype
+        )
+    if bias is not None:
+        out = out + bias
+    return out * ovalid[:, None]
+
+
+def to_dense_bev(sp, feats):
+    """Sparse voxels -> dense (ny, nx, nz*C) NHWC map (HeightCompression,
+    ref sub_modules/height_compression.py: fold z into channels)."""
+    d, h, w = sp["grid"]
+    c = feats.shape[-1]
+    valid = sp["valid"]
+    coords = sp["coords"]
+    flat = coords[:, 0] * (h * w) + coords[:, 1] * w + coords[:, 2]
+    flat = jnp.where(valid, flat, d * h * w)
+    dense = jax.ops.segment_sum(
+        feats * valid[:, None],
+        flat,
+        num_segments=d * h * w + 1,
+        indices_are_sorted=True,  # keys are sorted z-major
+    )
+    dense = dense[:-1].reshape(d, h, w, c)
+    return dense.transpose(1, 2, 0, 3).reshape(h, w, d * c)

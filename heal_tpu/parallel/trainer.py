@@ -36,11 +36,17 @@ def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
 
 
 def _label_targets(batch: dict) -> dict:
-    return {
+    out = {
         "pos_equal_one": batch["pos_equal_one"],
         "neg_equal_one": batch["neg_equal_one"],
         "targets": batch["targets"],
     }
+    # camera depth supervision targets ride along per modality
+    for key, value in batch.items():
+        if key.startswith("inputs_") and isinstance(value, dict):
+            if "depth_bins" in value:
+                out[f"depth_bins_{key[len('inputs_'):]}"] = value["depth_bins"]
+    return out
 
 
 def _single_targets(batch: dict) -> dict:

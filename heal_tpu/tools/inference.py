@@ -62,7 +62,13 @@ def run_inference(
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    infer = jax.jit(lambda b: model.apply(variables, b, train=False))
+
+    def _forward(b):
+        out = model.apply(variables, b, train=False)
+        # static metadata (mode strings) can't cross the jit boundary
+        return {k: v for k, v in out.items() if not isinstance(v, str)}
+
+    infer = jax.jit(_forward)
 
     post = cfg["postprocess"]
     anchors = jnp.asarray(dataset.anchors)

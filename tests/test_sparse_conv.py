@@ -1,0 +1,177 @@
+"""Sparse 3D conv vs dense reference on tiny grids."""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sparse_scene():
+    import jax.numpy as jnp
+
+    from heal_tpu.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(0)
+    lidar_range = [0, 0, 0, 1.6, 1.6, 0.8]  # grid 8 x 8 x 4 at 0.2
+    voxel = [0.2, 0.2, 0.2]
+    n = 300
+    pts = np.zeros((n, 4), np.float32)
+    pts[:, 0] = rng.uniform(0, 1.6, n)
+    pts[:, 1] = rng.uniform(0, 1.6, n)
+    pts[:, 2] = rng.uniform(0, 0.8, n)
+    pts[:, 3] = rng.uniform(0, 1, n)
+    mask = np.ones(n, bool)
+    mask[250:] = False
+    sp = sc.voxelize_points(
+        jnp.asarray(pts), jnp.asarray(mask), lidar_range, voxel, 128
+    )
+    return sp, pts, mask
+
+
+def dense_from_sparse(sp, feats):
+    d, h, w = sp["grid"]
+    coords = np.asarray(sp["coords"])
+    valid = np.asarray(sp["valid"])
+    c = feats.shape[-1]
+    dense = np.zeros((d, h, w, c), np.float32)
+    dense[coords[valid, 0], coords[valid, 1], coords[valid, 2]] = np.asarray(
+        feats
+    )[valid]
+    return dense
+
+
+def dense_conv3d(dense, weights, stride=1):
+    """Reference dense 3D conv (27, Cin, Cout), padding 1."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    k = np.zeros((3, 3, 3, weights.shape[1], weights.shape[2]), np.float32)
+    i = 0
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                # out[o] += W_i * in[o + delta] -> kernel tap at (1+dz,...)
+                k[1 + dz, 1 + dy, 1 + dx] = np.asarray(weights[i])
+                i += 1
+    # correlation with flipped? lax conv computes correlation: out[o] =
+    # sum_t k[t] * in[o*s + t - p]; we need in[o + delta] at t = delta + 1
+    out = lax.conv_general_dilated(
+        jnp.asarray(dense[None].transpose(0, 4, 1, 2, 3)),
+        jnp.asarray(k.transpose(4, 3, 0, 1, 2)),
+        window_strides=(stride,) * 3,
+        padding=[(1, 1)] * 3,
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+    )
+    return np.asarray(out[0].transpose(1, 2, 3, 0))
+
+
+class TestVoxelize:
+    def test_mean_features(self, sparse_scene):
+        sp, pts, mask = sparse_scene
+        valid = np.asarray(sp["valid"])
+        coords = np.asarray(sp["coords"])
+        feats = np.asarray(sp["feats"])
+        assert valid.sum() > 10
+        # pick a voxel and verify its mean
+        vi = np.argmax(valid)
+        z, y, x = coords[vi]
+        sel = (
+            mask
+            & (np.floor(pts[:, 0] / 0.2).astype(int) == x)
+            & (np.floor(pts[:, 1] / 0.2).astype(int) == y)
+            & (np.floor(pts[:, 2] / 0.2).astype(int) == z)
+        )
+        np.testing.assert_allclose(
+            feats[vi], pts[sel].mean(axis=0), rtol=1e-5
+        )
+        # keys sorted with INVALID padding at the end
+        keys = np.asarray(sp["keys"])
+        assert (np.diff(keys.astype(np.int64)) >= 0).all()
+
+    def test_masked_points_excluded(self, sparse_scene):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops import sparse_conv as sc
+
+        sp, pts, mask = sparse_scene
+        pts2 = pts.copy()
+        pts2[250:] = 99.0  # garbage in masked region
+        sp2 = sc.voxelize_points(
+            jnp.asarray(pts2), jnp.asarray(mask),
+            [0, 0, 0, 1.6, 1.6, 0.8], [0.2, 0.2, 0.2], 128,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sp["feats"]), np.asarray(sp2["feats"]), atol=1e-6
+        )
+
+
+class TestSubMConv:
+    def test_matches_dense_at_active_sites(self, sparse_scene):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops import sparse_conv as sc
+
+        sp, _, _ = sparse_scene
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(0, 0.5, (27, 4, 6)).astype(np.float32))
+        out = np.asarray(sc.subm_conv(sp, w))
+        dense = dense_from_sparse(sp, sp["feats"])
+        ref = dense_conv3d(dense, w)
+        coords = np.asarray(sp["coords"])
+        valid = np.asarray(sp["valid"])
+        got = out[valid]
+        want = ref[coords[valid, 0], coords[valid, 1], coords[valid, 2]]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestStridedConv:
+    def test_matches_dense_strided(self, sparse_scene):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops import sparse_conv as sc
+
+        sp, _, _ = sparse_scene
+        rng = np.random.default_rng(2)
+        w = jnp.asarray(rng.normal(0, 0.5, (27, 4, 5)).astype(np.float32))
+        sites = sc.downsample_sites(sp, 128)
+        out = np.asarray(sc.strided_conv(sp, sites, w))
+        dense = dense_from_sparse(sp, sp["feats"])
+        ref = dense_conv3d(dense, w, stride=2)
+        coords = np.asarray(sites["coords"])
+        valid = np.asarray(sites["valid"])
+        assert sites["grid"] == tuple(ref.shape[:3])
+        got = out[valid]
+        want = ref[coords[valid, 0], coords[valid, 1], coords[valid, 2]]
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+        # dense must be ~zero at sites not generated
+        gen = np.zeros(ref.shape[:3], bool)
+        gen[coords[valid, 0], coords[valid, 1], coords[valid, 2]] = True
+        if (~gen).any():
+            assert np.abs(ref[~gen]).max() < 1e-5
+
+
+class TestSecondEncoder:
+    def test_forward_shape(self):
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.models.second import SecondEncoder
+
+        rng = np.random.default_rng(3)
+        pts = np.zeros((2, 500, 4), np.float32)
+        pts[..., 0] = rng.uniform(-3.2, 3.2, (2, 500))
+        pts[..., 1] = rng.uniform(-3.2, 3.2, (2, 500))
+        pts[..., 2] = rng.uniform(-1, 1, (2, 500))
+        mask = np.ones((2, 500), bool)
+        enc = SecondEncoder(
+            voxel_size=(0.1, 0.1, 0.25),
+            lidar_range=(-3.2, -3.2, -1, 3.2, 3.2, 1),
+            channels=(8, 16, 16, 16),
+            max_voxels=(2000, 1500, 1000, 800),
+        )
+        v = enc.init(
+            jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(mask)
+        )
+        out = enc.apply(v, jnp.asarray(pts), jnp.asarray(mask))
+        # grid 64x64x8 -> 8x8x1 after 3 stride-2 stages; z folds to channels
+        assert out.shape == (2, 8, 8, 16)
+        assert np.isfinite(np.asarray(out)).all()
+        assert np.abs(np.asarray(out)).max() > 0
