@@ -77,12 +77,36 @@ class IntermediateAssembler:
         else:
             poses = clean_poses
 
-        # comm-range filter w.r.t. ego, keep ego first, cap at max_cav
+        # CoAlign pose refinement from shared stage-1 detections
+        # (ref intermediate_heter_fusion_dataset.py:372-399 + box_align_v2)
+        if self.params.get("box_align") and all(
+            "pred_centers" in a for a in agents
+        ):
+            from ..utils.box_align import box_alignment_relative
+
+            refined = box_alignment_relative(
+                [np.asarray(a["pred_centers"]) for a in agents],
+                np.stack(poses),
+                uncertainties=[
+                    a.get("pred_uncertainty") for a in agents
+                ]
+                if all("pred_uncertainty" in a for a in agents)
+                else None,
+                **(self.params["box_align"].get("args", {}) or {}),
+            )
+            poses = [refined[i] for i in range(len(agents))]
+
+        # comm-range + modality filters w.r.t. ego, ego first, cap at
+        # max_cav (ref intermediate_heter_fusion_dataset.py:342-357)
+        allowed = (self.params.get("heter") or {}).get("allowed_modalities")
         keep = [0]
         for i in range(1, len(agents)):
             d = np.linalg.norm(poses[i][:2] - poses[0][:2])
-            if d <= self.comm_range:
-                keep.append(i)
+            if d > self.comm_range:
+                continue
+            if allowed and agents[i].get("modality", "m1") not in allowed:
+                continue
+            keep.append(i)
         keep = keep[: self.max_cav]
 
         L = self.max_cav

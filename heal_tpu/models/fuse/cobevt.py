@@ -1,0 +1,99 @@
+"""CoBEVT fusion: sparse window ("swap") attention over agents+pixels.
+
+Capability parity with reference fuse_modules/fusion_in_one.py:374-429 +
+swap_fusion_modules.py (SwapFusionBlockMask): alternating local-window and
+global-grid axial attention where the token set of each window spans all
+agents (agent_size * window^2 tokens), masked by agent validity; final
+head averages the agent axis and projects.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.warp import warp_agents_to_ego
+
+NEG_INF = -1e9
+
+
+class SwapAttention(nn.Module):
+    """One axial attention pass. mode='window': tokens are the L*ws*ws
+    cells of each local window. mode='grid': tokens are the L*gs*gs cells
+    of a dilated global grid (window/grid swap of MaxViT/CoBEVT)."""
+
+    dim: int
+    size: int
+    heads: int = 8
+    mode: str = "window"
+
+    @nn.compact
+    def __call__(self, x, mask):
+        # x: (B, L, H, W, C); mask: (B, L)
+        b, l, h, w, c = x.shape
+        s = self.size
+        ph, pw = (-h) % s, (-w) % s
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw), (0, 0)))
+        hp, wp = h + ph, w + pw
+        if self.mode == "window":
+            t = xp.reshape(b, l, hp // s, s, wp // s, s, c)
+            t = t.transpose(0, 2, 4, 1, 3, 5, 6)  # (B, nh, nw, L, s, s, C)
+        else:  # grid: dilated partition
+            t = xp.reshape(b, l, s, hp // s, s, wp // s, c)
+            t = t.transpose(0, 3, 5, 1, 2, 4, 6)  # (B, nh, nw, L, s, s, C)
+        bh, nh, nw = t.shape[0], t.shape[1], t.shape[2]
+        tokens = t.reshape(b * nh * nw, l * s * s, c)
+        kv_mask = jnp.repeat(mask, s * s, axis=1)  # (B, L*s*s)
+        kv_mask = jnp.broadcast_to(
+            kv_mask[:, None, None, None, :], (b, nh, nw, 1, l * s * s)
+        ).reshape(b * nh * nw, 1, 1, l * s * s)
+        out = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim
+        )(tokens, tokens, tokens, mask=kv_mask)
+        out = out.reshape(b, nh, nw, l, s, s, c)
+        if self.mode == "window":
+            out = out.transpose(0, 3, 1, 4, 2, 5, 6)
+        else:
+            out = out.transpose(0, 3, 4, 1, 5, 2, 6)
+        out = out.reshape(b, l, hp, wp, c)
+        return out[:, :, :h, :w]
+
+
+class SwapFusionBlock(nn.Module):
+    dim: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        y = nn.LayerNorm()(x)
+        x = x + SwapAttention(self.dim, self.window, mode="window")(y, mask)
+        y = nn.LayerNorm()(x)
+        x = x + nn.Dense(self.dim)(nn.gelu(nn.Dense(2 * self.dim)(y)))
+        y = nn.LayerNorm()(x)
+        x = x + SwapAttention(self.dim, self.window, mode="grid")(y, mask)
+        y = nn.LayerNorm()(x)
+        x = x + nn.Dense(self.dim)(nn.gelu(nn.Dense(2 * self.dim)(y)))
+        return x
+
+
+class CoBEVTFusion(nn.Module):
+    """args: input_dim, window_size, depth (SwapFusionBlockMask stack)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, features, affine, agent_mask, train: bool = False):
+        cfg = self.args or {}
+        depth = cfg.get("depth", 2)
+        window = cfg.get("window_size", 4)
+        c = features.shape[-1]
+        x = warp_agents_to_ego(features, affine)
+        x = x * agent_mask[:, :, None, None, None]
+        for i in range(depth):
+            x = SwapFusionBlock(c, window, name=f"block_{i}")(x, agent_mask)
+        # mlp head: mean over agents (masked), LN + Dense
+        m = agent_mask[:, :, None, None, None].astype(x.dtype)
+        pooled = (x * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+        return nn.Dense(c)(nn.LayerNorm()(pooled))

@@ -30,8 +30,14 @@ def run_inference(
     max_batches: int | None = None,
     params=None,
     batch_stats=None,
+    noise_setting=None,
+    cfg_override=None,
 ):
     cfg = load_yaml("", model_dir=model_dir)
+    if noise_setting is not None:
+        cfg["noise_setting"] = noise_setting
+    if cfg_override:
+        update_dict(cfg, cfg_override)
     if override_range is not None:
         r = override_range
         new_range = [-r[0], -r[1], -3, r[0], r[1], 1]
