@@ -47,6 +47,18 @@ def main():
     batch = jax.tree.map(jnp.asarray, next(ds.batches(1, shuffle=False)))
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
 
+    # bf16 inference (weights + activations); decode/NMS stay f32
+    def cast16(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            t,
+        )
+
+    variables = cast16(variables)
+    batch = cast16(batch)
+
     post = cfg["postprocess"]
     anchors = jnp.asarray(ds.anchors)
     gt_range = jnp.asarray(post["gt_range"], dtype=jnp.float32)
@@ -55,11 +67,11 @@ def main():
     def infer(variables, batch):
         out = model.apply(variables, batch, train=False)
         det = post_process_single(
-            out["cls_preds"][0],
-            out["reg_preds"][0],
-            out["dir_preds"][0],
+            out["cls_preds"][0].astype(jnp.float32),
+            out["reg_preds"][0].astype(jnp.float32),
+            out["dir_preds"][0].astype(jnp.float32),
             anchors,
-            batch["transformation_matrix"][0],
+            batch["transformation_matrix"][0].astype(jnp.float32),
             gt_range,
             order="hwl",
             score_threshold=post["target_args"]["score_threshold"],

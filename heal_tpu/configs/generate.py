@@ -1,0 +1,459 @@
+"""Generate the experiment config corpus.
+
+Mirrors the reference's hypes_yaml families (opv2v / dairv2x / v2xsim x
+{single, late, early, intermediate x 8 fusion methods, HEAL stages,
+camera-only}) at real OPV2V scale. Run:
+
+    python -m heal_tpu.configs.generate [--out heal_tpu/configs]
+
+Modality palette (OPV2V-H convention):
+  m1 = 64-line lidar + PointPillars   m2 = 4-camera rig + LSS
+  m3 = 32-line lidar + SECOND         m4 = 16-line lidar + PointPillars
+"""
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+
+import yaml
+
+CAV_RANGE = [-102.4, -51.2, -3, 102.4, 51.2, 1]
+VOXEL = [0.4, 0.4, 4]
+ANCHOR = {
+    "l": 3.9, "w": 1.6, "h": 1.56, "r": [0, 90],
+    "feature_stride": 2, "num": 2,
+}
+DIR_ARGS = {"dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90]}
+
+GRID_CONF_CAM = {
+    "xbound": [-51.2, 51.2, 0.8],
+    "ybound": [-51.2, 51.2, 0.8],
+    "zbound": [-10, 10, 20.0],
+    "ddiscr": [2, 50, 48],
+    "mode": "LID",
+}
+DATA_AUG_CAM = {
+    "final_dim": [384, 512],
+    "cams": ["camera0", "camera1", "camera2", "camera3"],
+    "Ncams": 4,
+}
+
+
+def pp_encoder(num_filters=64):
+    return {
+        "voxel_size": VOXEL,
+        "lidar_range": CAV_RANGE,
+        "pillar_vfe": {
+            "use_norm": True,
+            "with_distance": False,
+            "use_absolute_xyz": True,
+            "num_filters": [num_filters],
+        },
+        "point_pillar_scatter": {"num_features": num_filters},
+    }
+
+
+def modality_block(m: str):
+    if m in ("m1", "m4"):
+        return {
+            "sensor_type": "lidar",
+            "core_method": "point_pillar",
+            "preprocess": {
+                "core_method": "SpVoxelPreprocessor",
+                "args": {
+                    "voxel_size": VOXEL,
+                    "max_points_per_voxel": 32,
+                    "max_voxel_train": 32000,
+                    "max_voxel_test": 70000,
+                },
+                "cav_lidar_range": CAV_RANGE,
+            },
+        }
+    if m == "m2":
+        return {
+            "sensor_type": "camera",
+            "core_method": "lift_splat_shoot",
+            "grid_conf": GRID_CONF_CAM,
+            "data_aug_conf": DATA_AUG_CAM,
+        }
+    if m == "m3":
+        return {
+            "sensor_type": "lidar",
+            "core_method": "second",
+            "preprocess": {
+                "core_method": "SpVoxelPreprocessor",
+                "args": {
+                    "voxel_size": [0.1, 0.1, 0.1],
+                    "max_points_per_voxel": 5,
+                },
+                "cav_lidar_range": CAV_RANGE,
+            },
+        }
+    raise KeyError(m)
+
+
+def model_branch(m: str):
+    if m in ("m1", "m4"):
+        return {
+            "core_method": "point_pillar",
+            "sensor_type": "lidar",
+            "encoder_args": pp_encoder(),
+            "backbone_args": {
+                "layer_nums": [3],
+                "layer_strides": [2],
+                "num_filters": [64],
+            },
+            "aligner_args": {"core_method": "identity" if m == "m1" else "res3x3",
+                             "args": {"num_of_blocks": 3}},
+        }
+    if m == "m2":
+        return {
+            "core_method": "lift_splat_shoot",
+            "sensor_type": "camera",
+            "encoder_args": {
+                "grid_conf": GRID_CONF_CAM,
+                "data_aug_conf": DATA_AUG_CAM,
+                "img_downsample": 16,
+                "img_features": 64,
+                "depth_supervision": True,
+            },
+            "camera_mask_args": {"grid_conf": GRID_CONF_CAM},
+            "backbone_args": {
+                "layer_nums": [3],
+                "layer_strides": [1],
+                "num_filters": [64],
+            },
+            "aligner_args": {"core_method": "convnext",
+                             "args": {"num_of_blocks": 3}},
+        }
+    if m == "m3":
+        return {
+            "core_method": "second",
+            "sensor_type": "lidar",
+            "encoder_args": {
+                "voxel_size": [0.1, 0.1, 0.1],
+                "lidar_range": CAV_RANGE,
+                "second": {"channels": [16, 32, 64, 64],
+                           "max_voxels": [32000, 24000, 16000, 12000]},
+            },
+            "backbone_args": {
+                "layer_nums": [3],
+                "layer_strides": [1],
+                "num_filters": [64],
+            },
+            "aligner_args": {"core_method": "res3x3",
+                             "args": {"num_of_blocks": 3}},
+        }
+    raise KeyError(m)
+
+
+def base_cfg(name: str, dataset: str, fusion: str) -> dict:
+    return {
+        "name": name,
+        "root_dir": f"dataset/{dataset.upper()}/train",
+        "validate_dir": f"dataset/{dataset.upper()}/validate",
+        "test_dir": f"dataset/{dataset.upper()}/test",
+        "yaml_parser": "load_general_params",
+        "train_params": {
+            "batch_size": 4, "epoches": 30, "eval_freq": 2,
+            "save_freq": 2, "max_cav": 5 if dataset != "dairv2x" else 2,
+        },
+        "comm_range": 70,
+        "input_source": ["lidar"],
+        "label_type": "lidar",
+        "cav_lidar_range": CAV_RANGE,
+        "fusion": {
+            "core_method": fusion,
+            "dataset": dataset,
+            "args": {"proj_first": False},
+        },
+        "preprocess": {
+            "core_method": "SpVoxelPreprocessor",
+            "args": {"voxel_size": VOXEL, "max_points": 30000},
+            "cav_lidar_range": CAV_RANGE,
+        },
+        "postprocess": {
+            "core_method": "VoxelPostprocessor",
+            "gt_range": CAV_RANGE,
+            "anchor_args": dict(ANCHOR, cav_lidar_range=CAV_RANGE),
+            "target_args": {
+                "pos_threshold": 0.6,
+                "neg_threshold": 0.45,
+                "score_threshold": 0.2,
+            },
+            "order": "hwl",
+            "max_num": 100,
+            "nms_thresh": 0.15,
+            "dir_args": DIR_ARGS,
+        },
+        "loss": {
+            "core_method": "point_pillar_loss",
+            "args": {
+                "pos_cls_weight": 2.0,
+                "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 1.0},
+                "reg": {"sigma": 3.0, "weight": 2.0},
+                "dir": {"weight": 0.2, "args": DIR_ARGS},
+            },
+        },
+        "optimizer": {
+            "core_method": "Adam",
+            "lr": 0.002,
+            "args": {"eps": 1e-10, "weight_decay": 1e-4},
+        },
+        "lr_scheduler": {
+            "core_method": "multistep",
+            "gamma": 0.1,
+            "step_size": [15, 25],
+        },
+    }
+
+
+def pp_model(fusion_method=None):
+    args = dict(
+        pp_encoder(),
+        anchor_number=2,
+        dir_args=DIR_ARGS,
+        base_bev_backbone={
+            "resnet": True,
+            "layer_nums": [3, 4, 5],
+            "layer_strides": [2, 2, 2],
+            "num_filters": [64, 128, 256],
+            "upsample_strides": [1, 2, 4],
+            "num_upsample_filter": [128, 128, 128],
+        },
+        shrink_header={
+            "kernal_size": [3], "stride": [1], "padding": [1],
+            "dim": [256], "input_dim": 384,
+        },
+    )
+    if fusion_method:
+        args["fusion_method"] = fusion_method
+        args[fusion_method] = {"in_channels": 256, "feat_dim": 256}
+        if fusion_method == "v2vnet":
+            args["v2vnet"] = {
+                "in_channels": 256, "num_iteration": 2,
+                "agg_operator": "avg", "gru_flag": True,
+                "conv_gru": {"kernel_size": [[3, 3]], "num_layers": 1},
+            }
+        if fusion_method == "v2xvit":
+            args["v2xvit"] = {"depth": 3}
+        if fusion_method == "cobevt":
+            args["cobevt"] = {
+                "input_dim": 256, "window_size": 8, "depth": 2,
+            }
+        return {"core_method": "point_pillar_baseline", "args": args}
+    return {"core_method": "point_pillar", "args": args}
+
+
+def heal_model(modalities, supervise_single=True, collab=True):
+    args = {
+        "lidar_range": CAV_RANGE,
+        "supervise_single": supervise_single,
+        "norm": "batch",
+        "fusion_backbone": {
+            "resnext": True,
+            "layer_nums": [3, 5, 8],
+            "layer_strides": [1, 2, 2],
+            "num_filters": [64, 128, 256],
+            "upsample_strides": [1, 2, 4],
+            "num_upsample_filter": [128, 128, 128],
+            "anchor_number": 2,
+        },
+        "shrink_header": {
+            "kernal_size": [3], "stride": [1], "padding": [1],
+            "dim": [256], "input_dim": 384,
+        },
+        "in_head": 256,
+        "anchor_number": 2,
+        "dir_args": DIR_ARGS,
+    }
+    for m in modalities:
+        args[m] = model_branch(m)
+    return {
+        "core_method": (
+            "heter_pyramid_collab" if collab else "heter_pyramid_single"
+        ),
+        "args": args,
+    }
+
+
+PYRAMID_LOSS = {
+    "core_method": "point_pillar_pyramid_loss",
+    "args": {
+        "pos_cls_weight": 2.0,
+        "single_weight": 1.0,
+        "cls": {"alpha": 0.25, "gamma": 2.0, "weight": 1.0},
+        "reg": {"sigma": 3.0, "weight": 2.0},
+        "dir": {"weight": 0.2, "args": DIR_ARGS},
+        "depth": {"weight": 1.0},
+        "pyramid": {
+            "relative_downsample": [1, 2, 4],
+            "weight": [0.4, 0.2, 0.1],
+        },
+    },
+}
+
+
+def heter_block(modalities, ego="m1", mapping=None):
+    return {
+        "assignment_path": "modality_assign/opv2v_4modality.json",
+        "ego_modality": ego,
+        "lidar_channels_dict": {"m4": 16},
+        "mapping_dict": mapping
+        or {m: m for m in ("m1", "m2", "m3", "m4")},
+        "modality_setting": {m: modality_block(m) for m in modalities},
+    }
+
+
+def write(cfg: dict, path: str):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+
+
+def main(out_dir: str):
+    # ---- opv2v homogeneous PointPillars family
+    for method in (
+        "max", "att", "disconet", "v2vnet", "v2xvit", "cobevt",
+        "where2comm", "who2com",
+    ):
+        cfg = base_cfg(
+            f"opv2v_point_pillar_{method}", "opv2v", "intermediate"
+        )
+        cfg["model"] = pp_model(method)
+        write(cfg, f"{out_dir}/opv2v/lidar_only/{method}.yaml")
+
+    for fusion, name in (("late", "late_fusion"), ("early", "early_fusion")):
+        cfg = base_cfg(f"opv2v_point_pillar_{name}", "opv2v", fusion)
+        cfg["model"] = pp_model()
+        cfg["data_augment"] = [
+            {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
+            {"NAME": "random_world_rotation",
+             "WORLD_ROT_ANGLE": [-0.78539816, 0.78539816]},
+            {"NAME": "random_world_scaling",
+             "WORLD_SCALE_RANGE": [0.95, 1.05]},
+        ]
+        write(cfg, f"{out_dir}/opv2v/lidar_only/{name}.yaml")
+
+    cfg = base_cfg("opv2v_point_pillar_single", "opv2v", "late")
+    cfg["model"] = pp_model()
+    cfg["train_params"]["max_cav"] = 1
+    write(cfg, f"{out_dir}/opv2v/single/point_pillar.yaml")
+
+    # ---- HEAL protocol: stage 1, stage 2 x {m2, m3, m4}, final infer
+    cfg = base_cfg("Pyramid_m1_base", "opv2v", "intermediateheter")
+    cfg["heter"] = heter_block(
+        ["m1"], mapping={"m1": "m1", "m2": "m1", "m3": "m1", "m4": "m1"}
+    )
+    cfg["model"] = heal_model(["m1"])
+    cfg["loss"] = PYRAMID_LOSS
+    write(cfg, f"{out_dir}/opv2v/heal/stage1/m1_pyramid.yaml")
+
+    for m in ("m2", "m3", "m4"):
+        cfg = base_cfg(f"Pyramid_{m}_alignto_m1", "opv2v", "intermediateheter")
+        cfg["heter"] = heter_block(
+            [m], ego=m, mapping={k: m for k in ("m1", "m2", "m3", "m4")}
+        )
+        cfg["train_params"]["max_cav"] = 1
+        cfg["model"] = heal_model([m], supervise_single=False, collab=False)
+        cfg["loss"] = PYRAMID_LOSS
+        if m == "m2":
+            cfg["input_source"] = ["camera"]
+        write(cfg, f"{out_dir}/opv2v/heal/stage2/{m}_alignto_m1.yaml")
+
+    cfg = base_cfg("Pyramid_m1m2m3m4_final", "opv2v", "intermediateheter")
+    cfg["heter"] = heter_block(["m1", "m2", "m3", "m4"])
+    cfg["model"] = heal_model(["m1", "m2", "m3", "m4"])
+    cfg["loss"] = PYRAMID_LOSS
+    cfg["input_source"] = ["lidar", "camera"]
+    write(cfg, f"{out_dir}/opv2v/heal/final_infer/m1m2m3m4.yaml")
+
+    # ---- end-to-end heterogeneous baselines (2 modality)
+    for method in ("max", "att", "v2xvit"):
+        cfg = base_cfg(
+            f"opv2v_m1m2_{method}", "opv2v", "intermediateheter"
+        )
+        cfg["heter"] = heter_block(
+            ["m1", "m2"],
+            mapping={"m1": "m1", "m2": "m2", "m3": "m1", "m4": "m2"},
+        )
+        model = heal_model(["m1", "m2"])
+        model["core_method"] = "heter_model_baseline"
+        model["args"].pop("fusion_backbone")
+        model["args"]["fusion_method"] = method
+        model["args"]["shrink_header"]["input_dim"] = 64
+        model["args"]["shrink_header"]["dim"] = [64]
+        model["args"]["in_head"] = 64
+        cfg["model"] = model
+        cfg["input_source"] = ["lidar", "camera"]
+        write(
+            cfg, f"{out_dir}/opv2v/more_modality/m1m2_{method}.yaml"
+        )
+
+    # ---- camera-only
+    cfg = base_cfg("opv2v_camera_m2", "opv2v", "intermediateheter")
+    cfg["heter"] = heter_block(
+        ["m2"], ego="m2", mapping={k: "m2" for k in ("m1", "m2", "m3", "m4")}
+    )
+    cfg["model"] = heal_model(["m2"])
+    cfg["loss"] = PYRAMID_LOSS
+    cfg["input_source"] = ["camera"]
+    write(cfg, f"{out_dir}/opv2v/camera_only/m2_pyramid.yaml")
+
+    # ---- DAIR-V2X-C
+    cfg = base_cfg("dairv2x_m1_pyramid", "dairv2x", "intermediateheter")
+    cfg["root_dir"] = "dataset/dairv2x/train.json"
+    cfg["validate_dir"] = "dataset/dairv2x/val.json"
+    cfg["test_dir"] = "dataset/dairv2x/val.json"
+    cfg["data_dir"] = "dataset/dairv2x"
+    cfg["heter"] = heter_block(
+        ["m1"], mapping={k: "m1" for k in ("m1", "m2", "m3", "m4")}
+    )
+    cfg["model"] = heal_model(["m1"])
+    cfg["loss"] = PYRAMID_LOSS
+    write(cfg, f"{out_dir}/dairv2x/m1_pyramid.yaml")
+
+    cfg = base_cfg("dairv2x_second_coalign", "dairv2x", "intermediate")
+    cfg["model"] = {
+        "core_method": "second_intermediate",
+        "args": {
+            "voxel_size": [0.1, 0.1, 0.1],
+            "lidar_range": CAV_RANGE,
+            "second": {"channels": [16, 32, 64, 64],
+                       "max_voxels": [32000, 24000, 16000, 12000]},
+            "anchor_number": 2,
+            "dir_args": DIR_ARGS,
+            "fusion_method": "att",
+            "att": {"feat_dim": 256},
+            "base_bev_backbone": {
+                "layer_nums": [3, 4],
+                "layer_strides": [1, 2],
+                "num_filters": [128, 256],
+                "upsample_strides": [1, 2],
+                "num_upsample_filter": [128, 128],
+            },
+            "shrink_header": {
+                "kernal_size": [3], "stride": [1], "padding": [1],
+                "dim": [256], "input_dim": 256,
+            },
+        },
+    }
+    cfg["box_align"] = {"args": {"landmark_thresh": 2.0, "iterations": 10}}
+    write(cfg, f"{out_dir}/dairv2x/second_coalign.yaml")
+
+    # ---- V2X-Sim
+    cfg = base_cfg("v2xsim_point_pillar_fcooper", "v2xsim", "intermediate")
+    cfg["root_dir"] = "dataset/v2xsim/train_infos.pkl"
+    cfg["validate_dir"] = "dataset/v2xsim/val_infos.pkl"
+    cfg["test_dir"] = "dataset/v2xsim/test_infos.pkl"
+    cfg["model"] = pp_model("max")
+    write(cfg, f"{out_dir}/v2xsim/point_pillar_fcooper.yaml")
+
+    print(f"config corpus written under {out_dir}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=os.path.dirname(__file__) or ".")
+    main(p.parse_args().out)

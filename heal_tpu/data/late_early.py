@@ -13,6 +13,21 @@ from ..utils import transform_np
 from .scene import IntermediateAssembler
 
 
+def _maybe_augment(assembler, points, gt_hwl, gt_mask):
+    """Joint point/box augmentation (late/early only, like the ref)."""
+    aug_cfg = assembler.params.get("data_augment")
+    if not aug_cfg or not assembler.train:
+        return points, gt_hwl
+    from .augmentor import DataAugmentor
+
+    n = int(gt_mask.sum())
+    boxes_lwh = gt_hwl[:n][:, [0, 1, 2, 5, 4, 3, 6]].copy()
+    points, boxes_lwh = DataAugmentor(aug_cfg, True)(points, boxes_lwh)
+    out = gt_hwl.copy()
+    out[:n] = boxes_lwh[:, [0, 1, 2, 5, 4, 3, 6]]
+    return points, out
+
+
 class LateAssembler(IntermediateAssembler):
     """Late fusion: each agent is an independent single-agent sample.
 
@@ -47,15 +62,17 @@ class LateAssembler(IntermediateAssembler):
         pts = self._range_filter(
             np.asarray(agent["points"], dtype=np.float32)
         )
+        gt, gt_mask = self._gt_in_frame(
+            scene["objects"], poses[idx], self.gt_range
+        )
+        pts, gt = _maybe_augment(self, pts, gt, gt_mask)
+        pts = self._range_filter(pts)
         n = min(len(pts), self.max_points)
         points = np.zeros((self.max_points, 4), dtype=np.float32)
         pmask = np.zeros(self.max_points, dtype=bool)
         points[:n] = pts[:n]
         pmask[:n] = True
 
-        gt, gt_mask = self._gt_in_frame(
-            scene["objects"], poses[idx], self.gt_range
-        )
         from ..postprocess import generate_targets
 
         label = generate_targets(
@@ -101,6 +118,11 @@ class EarlyAssembler(IntermediateAssembler):
                 np.concatenate([xyz, pts[:, 3:4]], axis=1).astype(np.float32)
             )
         pts = self._range_filter(np.concatenate(merged, axis=0))
+        gt, gt_mask = self._gt_in_frame(
+            scene["objects"], clean_poses[0], self.gt_range
+        )
+        pts, gt = _maybe_augment(self, pts, gt, gt_mask)
+        pts = self._range_filter(pts)
         if self.train and len(pts) > self.max_points:
             sel = np.random.choice(len(pts), self.max_points, replace=False)
             pts = pts[sel]
@@ -110,9 +132,6 @@ class EarlyAssembler(IntermediateAssembler):
         points[:n] = pts[:n]
         pmask[:n] = True
 
-        gt, gt_mask = self._gt_in_frame(
-            scene["objects"], clean_poses[0], self.gt_range
-        )
         from ..postprocess import generate_targets
 
         label = generate_targets(

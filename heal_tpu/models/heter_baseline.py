@@ -1,0 +1,141 @@
+"""Heterogeneous baseline models: swappable fusion + late variant.
+
+Capability parity with reference models/heter_model_baseline.py (:99-115 —
+per-modality encoder/backbone/aligner with any fusion_in_one method) and
+heter_model_late.py (single-agent forward per modality for late fusion).
+Re-uses the ModalityBranch/packing machinery of heter_pyramid.py.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .heads import DetectionHeads
+from .heter_pyramid import ModalityBranch, center_crop_or_pad, modality_list
+from .point_pillar import _shrink_from_args
+from .registry import register_model
+
+
+@register_model("heter_model_baseline")
+class HeterModelBaseline(nn.Module):
+    """args: m1..m4 blocks + fusion_method (+ method args) + shrink_header
+    + anchor_number + dir_args."""
+
+    args: Any
+
+    def setup(self):
+        a = self.args
+        norm = a.get("norm", "batch")
+        self.modalities = modality_list(a)
+        self.branches = {
+            m: ModalityBranch(
+                modality=m, cfg=a[m], norm=norm, name=f"branch_{m}"
+            )
+            for m in self.modalities
+        }
+        from .fuse import build_fusion
+
+        method = a["fusion_method"]
+        fusion_args = dict(a.get(method, {}) or {})
+        fusion_args.setdefault("in_channels", a.get("in_head", 64))
+        self.fusion = build_fusion(method, fusion_args)
+        self.shrink = _shrink_from_args(a, norm)
+        self.heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            name="heads",
+        )
+
+    def __call__(self, batch: dict, train: bool = False):
+        a = self.args
+        agent_mask = batch["agent_mask"]
+        b, l = agent_mask.shape
+        lidar_range = a["lidar_range"]
+
+        feat_all = None
+        out_aux = {}
+        for m in self.modalities:
+            if f"inputs_{m}" not in batch:
+                continue
+            inputs = batch[f"inputs_{m}"]
+            lead = jax.tree.leaves(inputs)[0]
+            lm = lead.shape[1]
+            flat = jax.tree.map(
+                lambda x: x.reshape((b * lm,) + x.shape[2:]), inputs
+            )
+            feat, aux = self.branches[m](flat, train)
+            if aux.get("depth_logits") is not None:
+                out_aux[f"depth_items_{m}"] = aux["depth_logits"]
+            if a[m].get("sensor_type", "lidar") == "camera" and feat_all is not None:
+                feat = center_crop_or_pad(
+                    feat, feat_all.shape[2], feat_all.shape[3]
+                )
+            feat = feat.reshape((b, lm) + feat.shape[1:])
+            if feat_all is None:
+                h, w, c = feat.shape[2:]
+                feat_all = jnp.zeros((b, l + 1, h, w, c), feat.dtype)
+            feat_all = jax.vmap(
+                lambda canvas, slots, f: canvas.at[slots].add(f)
+            )(feat_all, batch[f"slots_{m}"], feat)
+        assert feat_all is not None
+        feat_all = feat_all[:, :l]
+
+        if self.shrink is not None:
+            flat = feat_all.reshape((b * l,) + feat_all.shape[2:])
+            feat_all = self.shrink(flat, train).reshape(
+                (b, l) + flat.shape[1:][:2] + (-1,)
+            )
+        fused = self.fusion(
+            feat_all, batch["pairwise_affine"], agent_mask, train
+        )
+        out = self.heads(fused)
+        out.update(out_aux)
+        return out
+
+
+@register_model("heter_model_late")
+class HeterModelLate(nn.Module):
+    """Late-fusion heterogeneous model: one agent per sample, modality
+    chosen by which inputs_mX block is present (ref heter_model_late.py)."""
+
+    args: Any
+
+    def setup(self):
+        a = self.args
+        norm = a.get("norm", "batch")
+        self.modalities = modality_list(a)
+        self.branches = {
+            m: ModalityBranch(
+                modality=m, cfg=a[m], norm=norm, name=f"branch_{m}"
+            )
+            for m in self.modalities
+        }
+        self.shrink = _shrink_from_args(a, norm)
+        self.heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            name="heads",
+        )
+
+    def __call__(self, batch: dict, train: bool = False):
+        feats = []
+        aux_all = {}
+        for m in self.modalities:
+            if f"inputs_{m}" not in batch:
+                continue
+            feat, aux = self.branches[m](batch[f"inputs_{m}"], train)
+            feats.append(feat)
+            if aux.get("depth_logits") is not None:
+                aux_all[f"depth_items_{m}"] = aux["depth_logits"]
+        assert feats, "no modality inputs present"
+        feat = feats[0] if len(feats) == 1 else sum(feats)
+        if self.shrink is not None:
+            feat = self.shrink(feat, train)
+        out = self.heads(feat)
+        out.update(aux_all)
+        return out

@@ -1,0 +1,103 @@
+"""Standalone SECOND detector + intermediate-fusion variant.
+
+Capability parity with reference models/second.py and
+second_intermediate.py: SECOND sparse-conv encoder -> BEV backbone ->
+heads; the intermediate variant fuses per-agent BEV maps with a
+fusion_in_one method before the heads.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+
+from .heads import DetectionHeads
+from .point_pillar import _backbone_from_args, _shrink_from_args
+from .registry import register_model
+from .second import SecondEncoder
+
+
+def _encoder_from_args(a: dict, norm: str) -> SecondEncoder:
+    return SecondEncoder(
+        voxel_size=tuple(a["voxel_size"]),
+        lidar_range=tuple(a["lidar_range"]),
+        channels=tuple(a.get("second", {}).get("channels", (16, 32, 64, 64))),
+        max_voxels=tuple(
+            a.get("second", {}).get(
+                "max_voxels", (24000, 16000, 12000, 8000)
+            )
+        ),
+        norm=norm,
+    )
+
+
+@register_model("second")
+class Second(nn.Module):
+    """args: voxel_size, lidar_range, (second {channels, max_voxels}),
+    base_bev_backbone, (shrink_header), anchor_number, (dir_args)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        a = self.args
+        norm = a.get("norm", "batch")
+        encoder = _encoder_from_args(a, norm)
+        backbone = _backbone_from_args(a, norm)
+        shrink = _shrink_from_args(a, norm)
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+        )
+        bev = encoder(batch["points"], batch["point_mask"], train)
+        feat = backbone(bev, train)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        out = heads(feat)
+        out["spatial_features_2d"] = feat
+        return out
+
+
+@register_model("second_intermediate")
+class SecondIntermediate(nn.Module):
+    """Homogeneous SECOND intermediate fusion (swappable fusion method)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .fuse import build_fusion
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        encoder = _encoder_from_args(a, norm)
+        backbone = _backbone_from_args(a, norm)
+        shrink = _shrink_from_args(a, norm)
+        method = a.get("fusion_method", "max")
+        fusion_args = dict(a.get(method, {}) or {})
+        fusion_args.setdefault("in_channels", a.get("in_head", 64))
+        fusion = build_fusion(method, fusion_args)
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+        )
+
+        points = batch["points"]  # (B, L, N, 4)
+        pmask = batch["point_mask"]
+        b, l = points.shape[:2]
+        flat_p = points.reshape((b * l,) + points.shape[2:])
+        flat_m = pmask.reshape((b * l,) + pmask.shape[2:])
+        bev = encoder(flat_p, flat_m, train)
+        feat = backbone(bev, train)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        feat = feat.reshape((b, l) + feat.shape[1:])
+        fused = fusion(
+            feat, batch["pairwise_affine"], batch["agent_mask"], train
+        )
+        out = heads(fused)
+        out["spatial_features_2d"] = fused
+        return out

@@ -32,6 +32,8 @@ def run_inference(
     batch_stats=None,
     noise_setting=None,
     cfg_override=None,
+    save_vis: bool = False,
+    vis_interval: int = 40,
 ):
     cfg = load_yaml("", model_dir=model_dir)
     if noise_setting is not None:
@@ -105,6 +107,24 @@ def run_inference(
             eval_np.calculate_tp_fp(
                 dense["corners"], dense["scores"], gt_corners, stat, t
             )
+        if save_vis and n_batches % vis_interval == 0:
+            from ..visualization import visualize
+
+            pts = batch.get("points")
+            ego_pts = (
+                pts[0, 0][batch["point_mask"][0, 0]]
+                if pts is not None and pts.ndim == 4
+                else (pts[0][batch["point_mask"][0]] if pts is not None else None)
+            )
+            visualize(
+                dense["corners"],
+                gt_corners,
+                ego_pts,
+                post["gt_range"],
+                os.path.join(
+                    model_dir, "vis", f"bev_{n_batches:05d}.png"
+                ),
+            )
         n_batches += 1
         if max_batches and n_batches >= max_batches:
             break
@@ -120,11 +140,14 @@ def main(argv=None):
     p.add_argument("--model_dir", required=True)
     p.add_argument("--range", default=None, help="e.g. 102.4,102.4")
     p.add_argument("--note", default="")
+    p.add_argument("--save_vis", action="store_true")
     args = p.parse_args(argv)
     override = (
         [float(x) for x in args.range.split(",")] if args.range else None
     )
-    run_inference(args.model_dir, override, args.note)
+    run_inference(
+        args.model_dir, override, args.note, save_vis=args.save_vis
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,96 @@
+"""HEAL 3-stage open-heterogeneity protocol, end to end.
+
+Stage 1: train the m1 collaboration base.
+Stage 2: train m2 with pyramid/shrink/heads FROZEN at stage-1 values.
+Stage 3: merge checkpoints (pytree union, base wins on shared modules).
+Infer:   the merged m1+m2 collab model runs inference.
+"""
+import os
+
+import numpy as np
+import pytest
+
+CFG_DIR = os.path.join(os.path.dirname(__file__), "configs")
+
+
+def flat_leaves(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        p = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(flat_leaves(v, p))
+        else:
+            out[p] = np.asarray(v)
+    return out
+
+
+@pytest.mark.slow
+class TestHealProtocol:
+    def test_three_stages(self, tmp_path):
+        from heal_tpu.tools import checkpoint as ck
+        from heal_tpu.tools.merge import merge_final
+        from heal_tpu.tools.train import main as train_main
+
+        stage1 = str(tmp_path / "stage1")
+        stage2 = str(tmp_path / "stage2")
+        merged = str(tmp_path / "merged")
+
+        # ---- stage 1: m1 collaboration base
+        train_main(
+            [
+                "-y", os.path.join(CFG_DIR, "entry_tiny.yaml"),
+                "--model_dir", stage1,
+                "--epochs", "1",
+                "--no_final_inference",
+            ]
+        )
+        _, s1_path = ck.find_checkpoint(stage1)
+        s1 = ck.load_checkpoint(s1_path)
+        assert "branch_m1" in s1["params"]
+        assert "pyramid_backbone" in s1["params"]
+
+        # ---- stage 2: m2 single, base frozen + initialized from stage 1
+        train_main(
+            [
+                "-y", os.path.join(CFG_DIR, "entry_m2_single.yaml"),
+                "--model_dir", stage2,
+                "--epochs", "1",
+                "--no_final_inference",
+                "--init_from", s1_path,
+            ]
+        )
+        _, s2_path = ck.find_checkpoint(stage2)
+        s2 = ck.load_checkpoint(s2_path)
+        assert "branch_m2" in s2["params"]
+        # frozen modules stayed EXACTLY at stage-1 values
+        f1 = flat_leaves(s1["params"]["pyramid_backbone"])
+        f2 = flat_leaves(s2["params"]["pyramid_backbone"])
+        assert f1.keys() == f2.keys()
+        for k in f1:
+            np.testing.assert_array_equal(f1[k], f2[k], err_msg=k)
+        # while the m2 branch actually trained (params differ from init
+        # is implied by finite loss + optimizer steps; check non-zero grads
+        # happened by comparing to a fresh init is overkill here)
+
+        # ---- stage 3: merge
+        merge_final([stage2], stage1, merged)
+        m = ck.load_checkpoint(os.path.join(
+            merged, "net_epoch_bestval_at0.ckpt"
+        ))
+        assert "branch_m1" in m["params"] and "branch_m2" in m["params"]
+        fm = flat_leaves(m["params"]["pyramid_backbone"])
+        for k in f1:
+            np.testing.assert_array_equal(f1[k], fm[k], err_msg=k)
+
+        # ---- final inference with the merged heterogeneous model
+        import shutil
+
+        from heal_tpu.config import load_yaml, save_yaml
+        from heal_tpu.tools.inference import run_inference
+
+        final_cfg = load_yaml(
+            os.path.join(CFG_DIR, "entry_m1m2_final.yaml")
+        )
+        save_yaml(final_cfg, os.path.join(merged, "config.yaml"))
+        result = run_inference(merged, max_batches=2)
+        assert "ap_5" in result
