@@ -22,7 +22,19 @@ from ..utils.common import limit_period
 
 
 def load_pcd(path: str) -> np.ndarray:
-    """Minimal PCD reader (ascii + binary, x y z intensity)."""
+    """Minimal PCD reader (ascii + binary, x y z intensity).
+
+    The C++ fast path (heal_tpu.native.read_pcd) is preferred when built;
+    this numpy version is the fallback and the reference for tests.
+    """
+    from .. import native
+
+    if native.available():
+        return native.read_pcd(path)
+    return _load_pcd_numpy(path)
+
+
+def _load_pcd_numpy(path: str) -> np.ndarray:
     with open(path, "rb") as f:
         header = {}
         while True:

@@ -147,6 +147,22 @@ class IntermediateAssembler:
             gt_ego, gt_mask, self.anchors, self.pos_thr, self.neg_thr,
             self.order,
         )
+        core = self.params.get("model", {}).get("core_method", "")
+        if core.startswith("center_point"):
+            from ..postprocess.targets import generate_center_targets
+
+            aa = self.params["postprocess"]["anchor_args"]
+            stride_m = aa["vw"] * aa.get("feature_stride", 2)
+            label.update(
+                generate_center_targets(
+                    gt_ego,
+                    gt_mask,
+                    self.anchors.shape[:2],
+                    self.cav_range,
+                    stride_m,
+                    self.order,
+                )
+            )
 
         sample = {
             "agent_mask": agent_mask,
@@ -162,12 +178,46 @@ class IntermediateAssembler:
             "pos_equal_one": label["pos_equal_one"],
             "neg_equal_one": label["neg_equal_one"],
             "targets": label["targets"],
+            **{
+                k: label[k]
+                for k in ("heatmap", "box_targets", "reg_mask")
+                if k in label
+            },
             "gt_boxes": gt_ego.astype(np.float32),
             "gt_mask": gt_mask.astype(np.float32),
             "transformation_matrix": np.eye(4, dtype=np.float32),
         }
 
         self._pack_modalities(sample, scene, keep, modality)
+
+        if self.params.get("kd_flag"):
+            # early-fusion teacher view: all kept agents' points merged in
+            # the ego frame (ref intermediate_fusion_dataset kd option)
+            merged = []
+            for slot, i in enumerate(keep):
+                p = np.asarray(agents[i]["points"], dtype=np.float64)
+                t = transform_np.x1_to_x2(poses[i], poses[0])
+                xyz = (
+                    np.concatenate(
+                        [p[:, :3], np.ones((len(p), 1))], axis=1
+                    )
+                    @ t.T
+                )[:, :3]
+                merged.append(
+                    np.concatenate([xyz, p[:, 3:4]], axis=1).astype(
+                        np.float32
+                    )
+                )
+            mp = self._range_filter(np.concatenate(merged, axis=0))
+            if len(mp) > self.max_points:
+                sel = np.random.choice(len(mp), self.max_points, False)
+                mp = mp[sel]
+            tpts = np.zeros((self.max_points, 4), np.float32)
+            tmask = np.zeros(self.max_points, bool)
+            tpts[: len(mp)] = mp
+            tmask[: len(mp)] = True
+            sample["teacher_points"] = tpts
+            sample["teacher_point_mask"] = tmask
 
         if self.supervise_single:
             pos_s, neg_s, tgt_s = [], [], []

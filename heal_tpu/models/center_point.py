@@ -1,0 +1,94 @@
+"""CenterPoint: anchor-free BEV detector (+ intermediate variant).
+
+Capability parity with reference models/center_point.py /
+center_point_baseline{_multiscale}.py / center_point_intermediate.py:
+pillar encoder -> BEV backbone -> heatmap head (1 channel) + direct box
+regression head (7 channels); fusion variant fuses BEV features before
+the heads.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+
+from .encoders import PointPillarEncoder
+from .point_pillar import _backbone_from_args, _shrink_from_args
+from .registry import register_model
+
+
+class CenterHeads(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return {
+            "cls_preds": nn.Conv(
+                1,
+                (1, 1),
+                name="heatmap_head",
+                bias_init=nn.initializers.constant(-2.19),  # focal prior
+            )(x),
+            "reg_preds": nn.Conv(7, (1, 1), name="box_head")(x),
+        }
+
+
+def _encoder(a, norm):
+    return PointPillarEncoder(
+        voxel_size=tuple(a["voxel_size"]),
+        lidar_range=tuple(a["lidar_range"]),
+        num_filters=tuple(a["pillar_vfe"]["num_filters"]),
+        norm=norm,
+    )
+
+
+@register_model("center_point")
+class CenterPoint(nn.Module):
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        a = self.args
+        norm = a.get("norm", "batch")
+        bev = _encoder(a, norm)(batch["points"], batch["point_mask"], train)
+        feat = _backbone_from_args(a, norm)(bev, train)
+        shrink = _shrink_from_args(a, norm)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        out = CenterHeads()(feat)
+        out["spatial_features_2d"] = feat
+        out["anchor_free"] = True
+        return out
+
+
+@register_model("center_point_baseline")
+class CenterPointBaseline(nn.Module):
+    """Intermediate fusion variant with swappable fusion net."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .fuse import build_fusion
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        points = batch["points"]
+        pmask = batch["point_mask"]
+        b, l = points.shape[:2]
+        flat_p = points.reshape((b * l,) + points.shape[2:])
+        flat_m = pmask.reshape((b * l,) + pmask.shape[2:])
+        bev = _encoder(a, norm)(flat_p, flat_m, train)
+        feat = _backbone_from_args(a, norm)(bev, train)
+        shrink = _shrink_from_args(a, norm)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        feat = feat.reshape((b, l) + feat.shape[1:])
+        method = a.get("fusion_method", "max")
+        fargs = dict(a.get(method, {}) or {})
+        fargs.setdefault("in_channels", feat.shape[-1])
+        fused = build_fusion(method, fargs)(
+            feat, batch["pairwise_affine"], batch["agent_mask"], train
+        )
+        out = CenterHeads()(fused)
+        out["spatial_features_2d"] = fused
+        out["anchor_free"] = True
+        return out

@@ -32,10 +32,13 @@ def build_model(model_cfg: dict):
     name = model_cfg["core_method"]
     if name not in MODEL_REGISTRY:
         # lazy import of model files on first use
+        from . import center_point  # noqa: F401
         from . import heter_baseline  # noqa: F401
         from . import heter_pyramid  # noqa: F401
+        from . import pixor  # noqa: F401
         from . import point_pillar  # noqa: F401
         from . import second_model  # noqa: F401
+        from . import voxel_net  # noqa: F401
 
     if name not in MODEL_REGISTRY:
         raise KeyError(

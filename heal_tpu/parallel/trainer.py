@@ -41,6 +41,9 @@ def _label_targets(batch: dict) -> dict:
         "neg_equal_one": batch["neg_equal_one"],
         "targets": batch["targets"],
     }
+    for key in ("heatmap", "box_targets", "reg_mask"):  # anchor-free
+        if key in batch:
+            out[key] = batch[key]
     # camera depth supervision targets ride along per modality
     for key, value in batch.items():
         if key.startswith("inputs_") and isinstance(value, dict):

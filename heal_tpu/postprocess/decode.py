@@ -31,6 +31,7 @@ from ..ops.nms import nms_rotated_fixed
         "max_det",
         "dir_offset",
         "num_bins",
+        "anchor_free",
     ),
 )
 def post_process_single(
@@ -46,6 +47,7 @@ def post_process_single(
     max_det: int = 300,
     dir_offset: float = 0.7853,
     num_bins: int = 2,
+    anchor_free: bool = False,
 ):
     """Decode one sample's head outputs into padded detections.
 
@@ -65,9 +67,14 @@ def post_process_single(
     n = h * w * a
     prob = jax.nn.sigmoid(cls_preds.reshape(n))
     deltas = reg_preds.reshape(n, 7)
-    anchors_flat = anchors.reshape(n, 7)
 
-    boxes = geometry.decode_boxes(deltas, anchors_flat)  # (N, 7) hwl
+    if anchor_free:
+        # CenterPoint-style: the regression head IS the box (ref
+        # voxel_postprocessor.post_process anchor-free branch)
+        boxes = deltas
+    else:
+        anchors_flat = anchors.reshape(n, 7)
+        boxes = geometry.decode_boxes(deltas, anchors_flat)  # (N, 7) hwl
 
     if dir_preds is not None:
         dir_logits = dir_preds.reshape(n, num_bins)

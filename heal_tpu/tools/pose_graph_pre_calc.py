@@ -1,0 +1,100 @@
+"""Pre-compute per-frame single-view detections for CoAlign box alignment.
+
+Reference: tools/pose_graph_pre_calc.py — run a stage-1 (single-agent)
+detector over the dataset and dump per-frame, per-agent box centers (+
+scores as uncertainty proxies) to JSON; the box_align data hook consumes
+them to refine noisy poses before fusion.
+
+    python -m heal_tpu.tools.pose_graph_pre_calc --model_dir runs/stage1 \
+        [--out stage1_boxes.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_yaml
+from ..data import build_dataset
+from ..models import build_model
+from ..postprocess.decode import post_process_single, strip_padding
+from . import checkpoint as ckpt_lib
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("heal_tpu pose_graph_pre_calc")
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--out", default=None)
+    p.add_argument("--max_frames", type=int, default=None)
+    args = p.parse_args(argv)
+
+    cfg = load_yaml("", model_dir=args.model_dir)
+    cfg["fusion"]["core_method"] = "late"  # single-agent forwards
+    dataset = build_dataset(cfg, train=False)
+    model = build_model(cfg["model"])
+    _, path = ckpt_lib.find_checkpoint(args.model_dir)
+    ckpt = ckpt_lib.load_checkpoint(path)
+    variables = {"params": ckpt["params"]}
+    if ckpt.get("batch_stats"):
+        variables["batch_stats"] = ckpt["batch_stats"]
+
+    post = cfg["postprocess"]
+    anchors = jnp.asarray(dataset.anchors)
+    gt_range = jnp.asarray(post["gt_range"], dtype=jnp.float32)
+
+    infer = jax.jit(
+        lambda b: {
+            k: v
+            for k, v in model.apply(variables, b, train=False).items()
+            if not isinstance(v, str)
+        }
+    )
+
+    results = {}
+    for idx in range(len(dataset)):
+        if args.max_frames and idx >= args.max_frames:
+            break
+        sample = dataset[idx]
+        frames = [sample] + sample.get("agent_samples", [])
+        per_agent = []
+        for fr in frames:
+            jb = {
+                "points": jnp.asarray(fr["points"])[None],
+                "point_mask": jnp.asarray(fr["point_mask"])[None],
+            }
+            out = infer(jb)
+            det = post_process_single(
+                out["cls_preds"][0],
+                out["reg_preds"][0],
+                out.get("dir_preds", [None])[0]
+                if "dir_preds" in out
+                else None,
+                anchors,
+                jnp.eye(4),
+                gt_range,
+                order=post["order"],
+                score_threshold=post["target_args"]["score_threshold"],
+                nms_threshold=post["nms_thresh"],
+            )
+            dense = strip_padding(jax.device_get(det))
+            per_agent.append(
+                {
+                    "centers": dense["boxes"][:, :2].tolist(),
+                    "scores": dense["scores"].tolist(),
+                }
+            )
+        results[str(idx)] = per_agent
+    out_path = args.out or os.path.join(
+        args.model_dir, "stage1_boxes.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(results, f)
+    print(f"[pose_graph_pre_calc] wrote {out_path} ({len(results)} frames)")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--init_from", default=None,
                    help="checkpoint path to loosely load before training "
                         "(HEAL stage-2: the stage-1 collab base)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="data-parallel over N devices (0 = single device;"
+                        " replaces the reference's DDP/NCCL)")
     return p.parse_args(argv)
 
 
@@ -71,6 +74,16 @@ def main(argv=None):
         cfg["optimizer"], cfg.get("lr_scheduler"), steps_per_epoch
     )
 
+    mesh = None
+    if args.devices:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(args.devices)
+        assert batch_size % args.devices == 0, (
+            "batch_size must divide across --devices"
+        )
+        print(f"[train] data-parallel mesh over {args.devices} devices")
+
     example = to_device(next(train_ds.batches(batch_size, shuffle=False)))
     trainer = Trainer(
         model=model,
@@ -78,6 +91,7 @@ def main(argv=None):
         tx=tx,
         supervise_single=cfg["model"]["args"].get("supervise_single", False),
         single_weight=cfg["loss"]["args"].get("single_weight", 1.0),
+        mesh=mesh,
     )
     state = trainer.init_state(jax.random.PRNGKey(0), example)
 
@@ -106,16 +120,34 @@ def main(argv=None):
         print(f"[train] resumed from {path} (epoch {start_epoch})")
 
     trainer.compile()
+    from .logging import MetricLogger
+
+    logger = MetricLogger(model_dir)
     best_val = float("inf")
     for epoch in range(start_epoch, epochs):
+        # per-epoch re-randomization (agent order / modality assignment),
+        # reference train.py:175-177
+        if hasattr(train_ds.backend, "reinitialize"):
+            train_ds.backend.reinitialize(seed=epoch)
         t0 = time.time()
         losses = []
         for batch in train_ds.batches(batch_size, shuffle=True, seed=epoch):
-            state, aux = trainer.train_step(state, to_device(batch))
-            losses.append(float(aux["total_loss"]))
+            state, aux = trainer.train_step(
+                state, trainer.shard_batch(to_device(batch))
+            )
+            losses.append(
+                {k: float(v) for k, v in aux.items() if v.ndim == 0}
+            )
         dt = time.time() - t0
+        mean_aux = {
+            k: float(np.mean([x[k] for x in losses if k in x]))
+            for k in losses[0]
+        }
+        logger.log(epoch, dict(mean_aux, samples_per_sec=(
+            steps_per_epoch * batch_size / dt
+        )))
         print(
-            f"[epoch {epoch}] loss {np.mean(losses):.4f} "
+            f"[epoch {epoch}] loss {mean_aux['total_loss']:.4f} "
             f"({steps_per_epoch * batch_size / dt:.2f} samples/s)"
         )
 
