@@ -8,6 +8,7 @@ from . import center_point_loss  # noqa: F401
 from . import point_pillar_disconet_loss  # noqa: F401
 from . import point_pillar_loss  # noqa: F401
 from . import point_pillar_pyramid_loss  # noqa: F401
+from . import point_pillar_uncertainty_loss  # noqa: F401
 from ..models.registry import build_loss
 
 __all__ = ["build_loss"]

@@ -81,6 +81,43 @@ class PointPillar(nn.Module):
         return out
 
 
+@register_model("point_pillar_uncertainty")
+class PointPillarUncertainty(nn.Module):
+    """Single-agent PointPillars + aleatoric uncertainty head
+    (ref models/point_pillar_uncertainty.py: extra 'sm' conv predicting
+    log-var x/y + log-kappa yaw per anchor)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        a = self.args
+        norm = a.get("norm", "batch")
+        encoder = PointPillarEncoder(
+            voxel_size=tuple(a["voxel_size"]),
+            lidar_range=tuple(a["lidar_range"]),
+            num_filters=tuple(a["pillar_vfe"]["num_filters"]),
+            norm=norm,
+        )
+        backbone = _backbone_from_args(a, norm)
+        shrink = _shrink_from_args(a, norm)
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+        )
+        bev = encoder(batch["points"], batch["point_mask"], train)
+        feat = backbone(bev, train)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        out = heads(feat)
+        out["unc_preds"] = nn.Conv(
+            3 * a["anchor_number"], (1, 1), name="unc_head"
+        )(feat)
+        out["spatial_features_2d"] = feat
+        return out
+
+
 @register_model("point_pillar_baseline")
 class PointPillarBaseline(nn.Module):
     """Homogeneous intermediate fusion with a swappable fusion net
