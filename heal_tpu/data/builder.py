@@ -18,9 +18,12 @@ def _build_backend(params: dict, train: bool):
     if name == "synthetic":
         args = params["fusion"].get("args") or {}
         args = args if isinstance(args, dict) else {}
+        # eval_on_train: evaluate on the training scenes (overfit-AP
+        # smoke protocol; the synthetic test split uses disjoint seeds)
+        as_train = train or args.get("eval_on_train", False)
         return SyntheticDataset(
             params,
-            train=train,
+            train=as_train,
             num_scenes=args.get(
                 "num_scenes_train" if train else "num_scenes_test",
                 32 if train else 8,

@@ -28,7 +28,7 @@ class MaskedBatchNorm(nn.Module):
     a fixed N.
     """
 
-    momentum: float = 0.99
+    momentum: float = 0.9  # see layers.Norm — 0.99 converges too slowly
     epsilon: float = 1e-3
 
     @nn.compact
