@@ -71,17 +71,25 @@ def bbox_overlaps(boxes: np.ndarray, query: np.ndarray, plus_one=True):
 
 
 def read_pcd(path: str, cap: int = 200_000):
-    """PCD file -> (N, 4) float32 (native; numpy fallback)."""
+    """PCD file -> (N, 4) float32 (native; numpy fallback).
+
+    The native reader returns the file's total point count; when it
+    exceeds the buffer the read is retried with a grown buffer so native
+    and fallback paths return identical data (no silent truncation).
+    """
     lib = load()
     if lib is None:
         from ..data.opv2v import load_pcd
 
         return load_pcd(path)
-    out = np.empty((cap, 4), dtype=np.float32)
-    n = lib.read_pcd(path.encode(), _fp(out), cap)
-    if n < 0:
-        raise IOError(f"failed to read pcd {path}")
-    return out[:n].copy()
+    while True:
+        out = np.empty((cap, 4), dtype=np.float32)
+        n = lib.read_pcd(path.encode(), _fp(out), cap)
+        if n < 0:
+            raise IOError(f"failed to read pcd {path}")
+        if n <= cap:
+            return out[:n].copy()
+        cap = int(n)
 
 
 def range_filter_pad(points: np.ndarray, limit_range, max_out: int):

@@ -71,9 +71,27 @@ int64_t range_filter_pad(const float* pts, int64_t n, const float* range6,
 }
 
 // ---------------------------------------------------------------------
-// Minimal PCD reader (ascii or binary, fields x y z [intensity]).
-// Returns point count and fills out (capacity cap, 4 floats per point);
-// -1 on error.
+// Minimal PCD reader (ascii or binary; SIZE/TYPE-aware, so non-float32
+// layouts — common in DAIR-V2X exports — decode correctly instead of
+// parsing as garbage). Requires x/y/z in FIELDS; returns -1 otherwise.
+// Returns the file's total point count (may exceed cap; the caller can
+// grow the buffer and retry) and fills out with min(count, cap) points.
+static double decode_field(const unsigned char* p, char type, int size) {
+  if (type == 'F') {
+    if (size == 4) { float v; std::memcpy(&v, p, 4); return v; }
+    if (size == 8) { double v; std::memcpy(&v, p, 8); return v; }
+  } else if (type == 'I') {
+    if (size == 1) { int8_t v; std::memcpy(&v, p, 1); return v; }
+    if (size == 2) { int16_t v; std::memcpy(&v, p, 2); return v; }
+    if (size == 4) { int32_t v; std::memcpy(&v, p, 4); return v; }
+  } else if (type == 'U') {
+    if (size == 1) { uint8_t v; std::memcpy(&v, p, 1); return v; }
+    if (size == 2) { uint16_t v; std::memcpy(&v, p, 2); return v; }
+    if (size == 4) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+  }
+  return 0.0;
+}
+
 int64_t read_pcd(const char* path, float* out, int64_t cap) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
@@ -81,12 +99,12 @@ int64_t read_pcd(const char* path, float* out, int64_t cap) {
   int64_t count = 0;
   int n_fields = 4;
   int ascii = 1;
-  int field_idx[8] = {0, 1, 2, 3, -1, -1, -1, -1};
+  int xi = -1, yi = -1, zi = -1, ii = -1;
+  std::vector<int> sizes;
+  std::vector<char> types;
   while (std::fgets(line, sizeof(line), f)) {
     if (std::strncmp(line, "FIELDS", 6) == 0) {
-      n_fields = 0;
       char* tok = std::strtok(line + 6, " \r\n");
-      int xi = -1, yi = -1, zi = -1, ii = -1;
       int idx = 0;
       while (tok) {
         if (!std::strcmp(tok, "x")) xi = idx;
@@ -97,16 +115,27 @@ int64_t read_pcd(const char* path, float* out, int64_t cap) {
         tok = std::strtok(nullptr, " \r\n");
       }
       n_fields = idx;
-      field_idx[0] = xi; field_idx[1] = yi; field_idx[2] = zi;
-      field_idx[3] = ii;
+    } else if (std::strncmp(line, "SIZE", 4) == 0) {
+      char* tok = std::strtok(line + 4, " \r\n");
+      while (tok) { sizes.push_back(std::atoi(tok));
+                    tok = std::strtok(nullptr, " \r\n"); }
+    } else if (std::strncmp(line, "TYPE", 4) == 0) {
+      char* tok = std::strtok(line + 4, " \r\n");
+      while (tok) { types.push_back(tok[0]);
+                    tok = std::strtok(nullptr, " \r\n"); }
     } else if (std::strncmp(line, "POINTS", 6) == 0) {
       count = std::atoll(line + 6);
     } else if (std::strncmp(line, "DATA", 4) == 0) {
+      if (std::strstr(line, "binary_compressed")) { std::fclose(f); return -1; }
       ascii = std::strstr(line, "ascii") != nullptr;
       break;
     }
   }
-  if (count <= 0) { std::fclose(f); return -1; }
+  // x/y/z must exist, else field indices are unresolved (ADVICE r1).
+  if (count <= 0 || xi < 0 || yi < 0 || zi < 0 || n_fields <= 0) {
+    std::fclose(f);
+    return -1;
+  }
   const int64_t n = std::min(count, cap);
   if (ascii) {
     std::vector<float> row(n_fields);
@@ -114,30 +143,41 @@ int64_t read_pcd(const char* path, float* out, int64_t cap) {
       for (int c = 0; c < n_fields; ++c) {
         if (std::fscanf(f, "%f", &row[c]) != 1) { std::fclose(f); return i; }
       }
-      out[i * 4 + 0] = row[field_idx[0]];
-      out[i * 4 + 1] = row[field_idx[1]];
-      out[i * 4 + 2] = row[field_idx[2]];
-      out[i * 4 + 3] = field_idx[3] >= 0 ? row[field_idx[3]] : 1.0f;
+      out[i * 4 + 0] = row[xi];
+      out[i * 4 + 1] = row[yi];
+      out[i * 4 + 2] = row[zi];
+      out[i * 4 + 3] = ii >= 0 ? row[ii] : 1.0f;
     }
   } else {
-    std::vector<float> buf((size_t)n * n_fields);
-    size_t got = std::fread(buf.data(), sizeof(float) * n_fields, n, f);
+    // default to float32 when SIZE/TYPE are absent (pre-0.7 writers)
+    while ((int)sizes.size() < n_fields) sizes.push_back(4);
+    while ((int)types.size() < n_fields) types.push_back('F');
+    std::vector<int> offs(n_fields, 0);
+    int record = 0;
+    for (int c = 0; c < n_fields; ++c) { offs[c] = record; record += sizes[c]; }
+    if (record <= 0) { std::fclose(f); return -1; }
+    std::vector<unsigned char> buf((size_t)n * record);
+    size_t got = std::fread(buf.data(), record, n, f);
     for (int64_t i = 0; i < (int64_t)got; ++i) {
-      out[i * 4 + 0] = buf[i * n_fields + field_idx[0]];
-      out[i * 4 + 1] = buf[i * n_fields + field_idx[1]];
-      out[i * 4 + 2] = buf[i * n_fields + field_idx[2]];
-      out[i * 4 + 3] =
-          field_idx[3] >= 0 ? buf[i * n_fields + field_idx[3]] : 1.0f;
+      const unsigned char* rec = buf.data() + (size_t)i * record;
+      out[i * 4 + 0] = (float)decode_field(rec + offs[xi], types[xi], sizes[xi]);
+      out[i * 4 + 1] = (float)decode_field(rec + offs[yi], types[yi], sizes[yi]);
+      out[i * 4 + 2] = (float)decode_field(rec + offs[zi], types[zi], sizes[zi]);
+      out[i * 4 + 3] = ii >= 0
+          ? (float)decode_field(rec + offs[ii], types[ii], sizes[ii]) : 1.0f;
     }
+    if ((int64_t)got < n) { std::fclose(f); return (int64_t)got; }
   }
   std::fclose(f);
-  return n;
+  return count;
 }
 
 // ---------------------------------------------------------------------
 // Host voxelizer (spconv VoxelGeneratorV2 parity): points -> up to
 // max_voxels voxels with up to max_points points each, plus coords
-// (z, y, x) and per-voxel counts. Grid hash via a flat int32 table.
+// (z, y, x) and per-voxel counts. Open-addressing hash on the cell key
+// sized by the point count (a dense grid table costs ~90 MB per call at
+// a 0.1 m grid and dominates runtime for sparse clouds — ADVICE r1).
 int64_t voxelize(const float* pts, int64_t n, const float* range6,
                  const float* voxel_size, int64_t max_voxels,
                  int64_t max_points, float* voxels /* (V, P, 4) */,
@@ -147,9 +187,14 @@ int64_t voxelize(const float* pts, int64_t n, const float* range6,
   const int nx = (int)std::round((range6[3] - range6[0]) / vx);
   const int ny = (int)std::round((range6[4] - range6[1]) / vy);
   const int nz = (int)std::round((range6[5] - range6[2]) / vz);
-  const int64_t cells = (int64_t)nx * ny * nz;
-  int32_t* table = (int32_t*)std::malloc(sizeof(int32_t) * cells);
-  std::memset(table, 0xff, sizeof(int32_t) * cells);
+  // capacity: next pow2 >= 2 * n distinct-cell upper bound, min 1024
+  uint64_t cap = 1024;
+  while (cap < (uint64_t)(n > 0 ? 2 * n : 2)) cap <<= 1;
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vids;
+  keys.assign(cap, -1);
+  vids.assign(cap, -1);
+  const uint64_t mask = cap - 1;
   std::memset(counts, 0, sizeof(int32_t) * max_voxels);
   int64_t v_used = 0;
   for (int64_t i = 0; i < n; ++i) {
@@ -160,11 +205,14 @@ int64_t voxelize(const float* pts, int64_t n, const float* range6,
     if (xi < 0 || xi >= nx || yi < 0 || yi >= ny || zi < 0 || zi >= nz)
       continue;
     const int64_t key = ((int64_t)zi * ny + yi) * nx + xi;
-    int32_t vid = table[key];
-    if (vid < 0) {
+    uint64_t slot = ((uint64_t)key * 0x9E3779B97F4A7C15ull) & mask;
+    while (keys[slot] >= 0 && keys[slot] != key) slot = (slot + 1) & mask;
+    int32_t vid = vids[slot];
+    if (keys[slot] < 0) {
       if (v_used >= max_voxels) continue;
       vid = (int32_t)v_used++;
-      table[key] = vid;
+      keys[slot] = key;
+      vids[slot] = vid;
       coords[vid * 3 + 0] = zi;
       coords[vid * 3 + 1] = yi;
       coords[vid * 3 + 2] = xi;
@@ -176,7 +224,6 @@ int64_t voxelize(const float* pts, int64_t n, const float* range6,
       ++c;
     }
   }
-  std::free(table);
   return v_used;
 }
 

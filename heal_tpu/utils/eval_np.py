@@ -88,7 +88,7 @@ def eval_final_results(result_stat: dict, save_path=None, infer_info=None) -> di
     out = {}
     for t in result_stat:
         ap, mrec, mpre = calculate_ap(result_stat, t)
-        key = str(t).replace("0.", "")
+        key = str(int(round(t * 100)))  # reference keys: ap_30/ap_50/ap_70
         out[f"ap_{key}"] = float(ap)
         out[f"mpre_{key}"] = list(map(float, mpre))
         out[f"mrec_{key}"] = list(map(float, mrec))
@@ -102,7 +102,7 @@ def eval_final_results(result_stat: dict, save_path=None, infer_info=None) -> di
     aps = [v for k, v in out.items() if k.startswith("ap_")]
     if aps:
         summary = " | ".join(
-            f"ap@{t}: {out['ap_' + str(t).replace('0.', '')]:.4f}"
+            f"ap@{t}: {out['ap_' + str(int(round(t * 100)))]:.4f}"
             for t in result_stat
         )
         print(f"[eval] {summary}")

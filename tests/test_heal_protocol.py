@@ -93,4 +93,4 @@ class TestHealProtocol:
         )
         save_yaml(final_cfg, os.path.join(merged, "config.yaml"))
         result = run_inference(merged, max_batches=2)
-        assert "ap_5" in result
+        assert "ap_50" in result
