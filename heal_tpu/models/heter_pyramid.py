@@ -186,6 +186,16 @@ class HeterPyramidCollab(nn.Module):
         else:
             self.compressor = None
 
+    @property
+    def fix_modules(self):
+        """Compressor finetuning freezes everything else (reference
+        model_train_init, heter_pyramid_collab.py:121-131)."""
+        if "compressor" not in self.args:
+            return ()
+        return tuple(
+            f"branch_{m}" for m in modality_list(self.args)
+        ) + ("pyramid_backbone", "shrink", "heads")
+
     def __call__(self, batch: dict, train: bool = False):
         """batch:
           inputs_mX : dict of modality-packed arrays (B, L_m, ...)
@@ -198,6 +208,9 @@ class HeterPyramidCollab(nn.Module):
         a = self.args
         agent_mask = batch["agent_mask"]
         b, l = agent_mask.shape
+        # frozen modules (compressor finetuning) run in eval mode so their
+        # BN uses and keeps the pretrained running stats (ref fix_bn)
+        frozen = set(self.fix_modules) if train else set()
 
         # lidar grid at the collaboration stride defines the target dims
         lidar_range = a["lidar_range"]
@@ -214,7 +227,9 @@ class HeterPyramidCollab(nn.Module):
             flat = jax.tree.map(
                 lambda x: x.reshape((b * lm,) + x.shape[2:]), inputs
             )
-            feat, aux = self.branches[m](flat, train)  # (B*L_m, h, w, C)
+            feat, aux = self.branches[m](
+                flat, train and f"branch_{m}" not in frozen
+            )  # (B*L_m, h, w, C)
             if aux.get("depth_logits") is not None:
                 out_aux[f"depth_items_{m}"] = aux["depth_logits"]
             if a[m].get("sensor_type", "lidar") == "camera":
@@ -272,10 +287,10 @@ class HeterPyramidCollab(nn.Module):
             batch["pairwise_affine"],
             agent_mask,
             crop_mask_list=crop_mask_list,
-            train=train,
+            train=train and "pyramid_backbone" not in frozen,
         )
         if self.shrink is not None:
-            fused = self.shrink(fused, train)
+            fused = self.shrink(fused, train and "shrink" not in frozen)
         out = self.heads(fused)
         out["pyramid"] = "collab"
         out["occ_single_list"] = occ_list
@@ -327,9 +342,13 @@ class HeterPyramidSingle(nn.Module):
                 lambda x: x.reshape((b * lm,) + x.shape[2:]), inputs
             )
         feat, aux = self.branch(inputs, train)
-        fused, occ_list = self.pyramid_backbone.forward_single(feat, train)
+        # frozen modules run in eval mode even during stage-2 training:
+        # BN uses the stage-1 running stats and never updates them
+        # (reference fix_bn, utils/model_utils.py:9-16 +
+        # heter_pyramid_single.py:74-96)
+        fused, occ_list = self.pyramid_backbone.forward_single(feat, False)
         if self.shrink is not None:
-            fused = self.shrink(fused, train)
+            fused = self.shrink(fused, False)
         out = self.heads(fused)
         out["pyramid"] = "single"
         out["occ_single_list"] = occ_list

@@ -32,3 +32,20 @@ def freeze_wrap(tx: optax.GradientTransformation, params: dict, fix_modules):
     return optax.multi_transform(
         {"train": tx, "freeze": optax.set_to_zero()}, labels
     )
+
+
+def freeze_stats(new_stats, old_stats, fix_modules):
+    """Keep frozen modules' batch_stats at their loaded values.
+
+    The reference fixes BN modules inside fix_modules to eval mode
+    (utils/model_utils.py:9-16), so their running statistics never drift
+    during stage-2 / compressor training. The models already run frozen
+    submodules in eval mode; this guards the state update as well.
+    """
+    if not fix_modules or not old_stats or not new_stats:
+        return new_stats
+    out = dict(new_stats)
+    for k in fix_modules:
+        if k in old_stats:
+            out[k] = old_stats[k]
+    return out

@@ -69,6 +69,7 @@ class Trainer:
     supervise_single: bool = False
     single_weight: float = 1.0
     mesh: Mesh | None = None
+    fix_modules: tuple = ()
 
     def init_state(self, rng, example_batch) -> TrainState:
         variables = self.model.init(rng, example_batch, train=False)
@@ -106,6 +107,12 @@ class Trainer:
         (loss, (aux, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch
         )
+        if self.fix_modules:
+            from .freezing import freeze_stats
+
+            new_stats = freeze_stats(
+                new_stats, state.batch_stats, self.fix_modules
+            )
         updates, new_opt = self.tx.update(
             grads, state.opt_state, state.params
         )

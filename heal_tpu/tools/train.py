@@ -84,6 +84,10 @@ def main(argv=None):
         )
         print(f"[train] data-parallel mesh over {args.devices} devices")
 
+    # stage-2 / compressor finetune: fix_modules stay frozen (params via
+    # optimizer masking, batch_stats via freeze_stats in the trainer)
+    fix_modules = tuple(getattr(model, "fix_modules", ()))
+
     example = to_device(next(train_ds.batches(batch_size, shuffle=False)))
     trainer = Trainer(
         model=model,
@@ -92,11 +96,11 @@ def main(argv=None):
         supervise_single=cfg["model"]["args"].get("supervise_single", False),
         single_weight=cfg["loss"]["args"].get("single_weight", 1.0),
         mesh=mesh,
+        fix_modules=fix_modules,
     )
     state = trainer.init_state(jax.random.PRNGKey(0), example)
 
     # stage-2: loosely load the stage-1 base, then freeze fix_modules
-    fix_modules = getattr(model, "fix_modules", ())
     if args.init_from:
         src = ckpt_lib.load_checkpoint(args.init_from)
         params = jax.tree.map(np.asarray, jax.device_get(state.params))

@@ -68,6 +68,16 @@ class TestHealProtocol:
         assert f1.keys() == f2.keys()
         for k in f1:
             np.testing.assert_array_equal(f1[k], f2[k], err_msg=k)
+        # frozen BN running stats must not drift either (reference fix_bn:
+        # frozen modules run in eval mode during stage-2 training)
+        for mod in ("pyramid_backbone", "shrink"):
+            if mod not in s1.get("batch_stats", {}):
+                continue
+            b1 = flat_leaves(s1["batch_stats"][mod])
+            b2 = flat_leaves(s2["batch_stats"][mod])
+            assert b1.keys() == b2.keys()
+            for k in b1:
+                np.testing.assert_array_equal(b1[k], b2[k], err_msg=k)
         # while the m2 branch actually trained (params differ from init
         # is implied by finite loss + optimizer steps; check non-zero grads
         # happened by comparing to a fresh init is overkill here)
