@@ -18,6 +18,7 @@ import os
 import numpy as np
 import yaml
 
+from ..utils import transform_np
 from ..utils.common import limit_period
 
 
@@ -141,6 +142,45 @@ class Adaptor:
         return ego_ok + rest
 
 
+def generate_modality_assignment(
+    root: str,
+    modalities=("m1", "m2", "m3", "m4"),
+    seed: int = 303,
+    in_order: bool = False,
+    output_path: str | None = None,
+) -> dict:
+    """Scan an OPV2V-layout tree and emit a fixed per-(scenario, cav)
+    modality map for reproducible heterogeneous eval.
+
+    Mirrors reference utils/heter_utils.assign_modality_4(:96-158):
+    random draw per agent with a fixed seed, or ``in_order`` assignment
+    (agent k gets modalities[k % len]) for the agents-added-in-order
+    protocol. Writes JSON when ``output_path`` is given.
+    """
+    rng = np.random.default_rng(seed)
+    assignment = {}
+    for scen in sorted(os.listdir(root)):
+        sdir = os.path.join(root, scen)
+        if not os.path.isdir(sdir):
+            continue
+        cavs = sorted(
+            d
+            for d in os.listdir(sdir)
+            if os.path.isdir(os.path.join(sdir, d)) and not d.startswith("_")
+        )
+        assignment[scen] = {}
+        for k, cav in enumerate(cavs):
+            if in_order:
+                m = modalities[k % len(modalities)]
+            else:
+                m = modalities[rng.integers(0, len(modalities))]
+            assignment[scen][str(cav)] = m
+    if output_path:
+        with open(output_path, "w") as f:
+            json.dump(assignment, f, indent=1)
+    return assignment
+
+
 class OPV2VBackend:
     def __init__(self, params: dict, train: bool = True):
         self.params = params
@@ -152,6 +192,12 @@ class OPV2VBackend:
         self.lidar_channels = (self.heter or {}).get(
             "lidar_channels_dict", {}
         )
+        self.sensor_types = {
+            m: s.get("sensor_type", "lidar")
+            for m, s in (self.heter or {})
+            .get("modality_setting", {})
+            .items()
+        }
         self.reinitialize()
 
     def reinitialize(self, seed: int = 0):
@@ -216,12 +262,84 @@ class OPV2VBackend:
                 }
                 agent["camera_dir"] = cdir
                 agent["timestamp"] = ts
+                # camera-modality agents get real pixels + calib from disk
+                # (ref opv2v_basedataset.retrieve_base_data:241-260 png/hdf5
+                # + get_ext_int:473)
+                if self.sensor_types.get(modality) == "camera":
+                    cams = self._load_cameras(cdir, ts, frame)
+                    if cams is not None:
+                        agent["cameras_raw"] = cams
             agents.append(agent)
             # union of vehicle boxes over agents' metadata (world frame)
             for vid, v in (frame.get("vehicles", {}) or {}).items():
                 objects_all[vid] = v
         objects = objects_from_yaml({"vehicles": objects_all})
         return {"agents": agents, "objects": objects}
+
+    def _load_cameras(self, cdir: str, ts: str, frame: dict):
+        """Load the camera rig for one agent: images (hdf5 preferred,
+        pngs otherwise) + optical-frame camera->lidar calib from the
+        frame yaml. Returns None when no image files exist on disk."""
+        from ..utils import camera as cam_utils
+
+        cam_ids = sorted(
+            int(k[len("camera"):])
+            for k in frame
+            if k.startswith("camera") and k[len("camera"):].isdigit()
+        )
+        imgs = None
+        h5_path = os.path.join(cdir, f"{ts}_imgs.hdf5")
+        if os.path.exists(h5_path):
+            import h5py
+
+            with h5py.File(h5_path, "r") as f:
+                imgs = [np.asarray(f[f"camera{i}"]) for i in cam_ids]
+        else:
+            paths = [
+                os.path.join(cdir, f"{ts}_camera{i}.png") for i in cam_ids
+            ]
+            if all(os.path.exists(p) for p in paths):
+                imgs = cam_utils.load_camera_images(paths)
+        if imgs is None:
+            return None
+        rots, trans, intrins = [], [], []
+        for i in cam_ids:
+            cam_to_lidar, K = cam_utils.get_ext_int(frame, i)
+            rots.append(cam_to_lidar[:3, :3])
+            trans.append(cam_to_lidar[:3, 3])
+            intrins.append(K)
+        return {
+            "imgs": imgs,  # list of (H, W, 3) uint8, original size
+            "rots": np.stack(rots).astype(np.float32),
+            "trans": np.stack(trans).astype(np.float32),
+            "intrins": np.stack(intrins).astype(np.float32),
+        }
+
+
+def _render_synthetic_camera(pts_agent, cam_to_lidar, intrinsic, ih, iw):
+    """Splat agent-frame lidar points into a camera image (uint8 RGB).
+
+    Gives the synthetic tree geometry-consistent pixels: brightness falls
+    with depth, hue varies with height — enough signal for the LSS branch
+    to learn from, while exercising the exact real-data calib path."""
+    rot = cam_to_lidar[:3, :3]
+    trans = cam_to_lidar[:3, 3]
+    cam_pts = (pts_agent[:, :3] - trans) @ rot  # agent -> optical frame
+    z = cam_pts[:, 2]
+    keep = z > 0.5
+    cam_pts, z = cam_pts[keep], z[keep]
+    uv = cam_pts @ intrinsic.T
+    u = (uv[:, 0] / uv[:, 2]).astype(np.int64)
+    v = (uv[:, 1] / uv[:, 2]).astype(np.int64)
+    ok = (u >= 0) & (u < iw) & (v >= 0) & (v < ih)
+    img = np.full((ih, iw, 3), 30, np.uint8)
+    img[:, :, 2] += (np.linspace(0, 40, ih, dtype=np.uint8))[:, None]
+    bright = np.clip(255.0 / np.maximum(z[ok], 1.0), 0, 255)
+    height = np.clip((cam_pts[ok, 1] + 3.0) * 40, 0, 255)
+    img[v[ok], u[ok], 0] = bright.astype(np.uint8)
+    img[v[ok], u[ok], 1] = height.astype(np.uint8)
+    img[v[ok], u[ok], 2] = 255  # unambiguous hit marker
+    return img
 
 
 def write_synthetic_opv2v_tree(
@@ -231,9 +349,13 @@ def write_synthetic_opv2v_tree(
     num_timestamps: int = 2,
     num_vehicles: int = 5,
     seed: int = 0,
+    cameras: bool = False,
+    img_hw=(150, 200),
+    num_cameras: int = 4,
 ):
-    """Write a tiny OPV2V-layout tree (yaml + ascii pcd) for tests/CI
-    (stands in for the real recordings)."""
+    """Write a tiny OPV2V-layout tree (yaml + ascii pcd, optionally
+    camera pngs + calib blocks) for tests/CI (stands in for the real
+    recordings)."""
     from .synthetic import simulate_lidar
 
     rng = np.random.default_rng(seed)
@@ -270,9 +392,41 @@ def write_synthetic_opv2v_tree(
                     "true_ego_pos": pose,
                     "vehicles": vehicles,
                 }
+                pts = simulate_lidar(world_objs, pose, rng, ground_points=500)
+                if cameras:
+                    from ..utils import camera as cam_utils
+
+                    ih, iw = img_hw
+                    K = cam_utils.default_intrinsics(ih, iw)
+                    for ci in range(num_cameras):
+                        # rig: camera at the agent pose, +0.5 m up, yawed
+                        # 0/90/180/270 deg (world-frame cords like OPV2V)
+                        cam_cords = [
+                            pose[0],
+                            pose[1],
+                            pose[2] + 0.5,
+                            0.0,
+                            pose[4] + 90.0 * ci,
+                            0.0,
+                        ]
+                        frame[f"camera{ci}"] = {
+                            "cords": cam_cords,
+                            "intrinsic": K.tolist(),
+                            "extrinsic": np.linalg.inv(
+                                transform_np.x1_to_x2(cam_cords, pose)
+                            ).tolist(),
+                        }
+                        cam_to_lidar, _ = cam_utils.get_ext_int(frame, ci)
+                        img = _render_synthetic_camera(
+                            pts, cam_to_lidar, K, ih, iw
+                        )
+                        from PIL import Image
+
+                        Image.fromarray(img).save(
+                            os.path.join(cav_dir, f"{ts}_camera{ci}.png")
+                        )
                 with open(os.path.join(cav_dir, f"{ts}.yaml"), "w") as f:
                     yaml.safe_dump(frame, f)
-                pts = simulate_lidar(world_objs, pose, rng, ground_points=500)
                 with open(os.path.join(cav_dir, f"{ts}.pcd"), "w") as f:
                     f.write(
                         "VERSION .7\nFIELDS x y z intensity\n"

@@ -297,6 +297,48 @@ class IntermediateAssembler:
         for j, slot in enumerate(entries):
             agent = scene["agents"][keep[slot]]
             cams = agent.get("cameras")
+            if cams is None and agent.get("cameras_raw") is not None:
+                # real images from disk: per-camera resize/crop/flip aug
+                # with tracked pixel homography (ref camera_utils.py:33-98 +
+                # intermediate_heter_fusion_dataset.py:200-252)
+                raw = agent["cameras_raw"]
+                n_real = min(len(raw["imgs"]), ncam)
+                imgs = np.zeros((ncam, ih, iw, 3), np.float32)
+                post_rots = np.tile(np.eye(3, dtype=np.float32), (ncam, 1, 1))
+                post_trans = np.zeros((ncam, 3), np.float32)
+                for ci in range(n_real):
+                    policy = cam_utils.sample_augmentation(
+                        aug, self.train
+                    )
+                    img_t, pr, pt = cam_utils.img_transform(
+                        raw["imgs"][ci], *policy[1:]
+                    )
+                    imgs[ci] = cam_utils.normalize_img(img_t)
+                    post_rots[ci] = pr.astype(np.float32)
+                    post_trans[ci] = pt.astype(np.float32)
+                cams = {
+                    "imgs": imgs,
+                    "intrins": np.asarray(raw["intrins"], np.float32)[:ncam],
+                    "rots": np.asarray(raw["rots"], np.float32)[:ncam],
+                    "trans": np.asarray(raw["trans"], np.float32)[:ncam],
+                    "post_rots": post_rots,
+                    "post_trans": post_trans,
+                }
+                # pad calib with identity when the rig has < ncam cameras
+                for key, fill in (("intrins", np.eye(3)), ("rots", np.eye(3))):
+                    if len(cams[key]) < ncam:
+                        pad = np.tile(
+                            fill.astype(np.float32),
+                            (ncam - len(cams[key]), 1, 1),
+                        )
+                        cams[key] = np.concatenate([cams[key], pad])
+                if len(cams["trans"]) < ncam:
+                    cams["trans"] = np.concatenate(
+                        [
+                            cams["trans"],
+                            np.zeros((ncam - len(cams["trans"]), 3), np.float32),
+                        ]
+                    )
             if cams is None:
                 # synthesize a rig: structured noise images + exact calib,
                 # depth maps rendered from the agent's own lidar geometry
@@ -324,15 +366,24 @@ class IntermediateAssembler:
             if "post_rots" in cams:
                 out["post_rots"][j] = cams["post_rots"]
                 out["post_trans"][j] = cams["post_trans"]
-            # depth supervision from the agent's (simulated or real) lidar
+            # depth supervision from the agent's (simulated or real) lidar,
+            # rendered in FINAL image pixels: fold the aug homography into
+            # the intrinsics (u' = post_rot[:2,:2] @ u + post_tran[:2])
             pts = np.asarray(agent.get("points"), np.float32)
             if pts is not None and len(pts):
                 for ci in range(ncam):
+                    P = np.asarray(out["post_rots"][j, ci], np.float64).copy()
+                    P[:2, 2] += np.asarray(
+                        out["post_trans"][j, ci], np.float64
+                    )[:2]
+                    k_eff = P @ np.asarray(
+                        out["intrins"][j, ci], np.float64
+                    )
                     depth = cam_utils.render_depth_map(
                         pts,
                         out["rots"][j, ci],
                         out["trans"][j, ci],
-                        out["intrins"][j, ci],
+                        k_eff,
                         ih,
                         iw,
                         ds,

@@ -88,6 +88,131 @@ class TestLSSGeometry:
         assert abs(p[2] - 1.9) < 1.0  # near camera height
 
 
+class TestRealCameraIngest:
+    """File-backed camera path: pngs + yaml calib -> packed LSS inputs."""
+
+    def _make_tree(self, tmp_path):
+        import json
+
+        from heal_tpu.data.opv2v import (
+            generate_modality_assignment,
+            write_synthetic_opv2v_tree,
+        )
+
+        root = str(tmp_path / "opv2v")
+        os.makedirs(root)
+        write_synthetic_opv2v_tree(
+            root, 1, 2, 2, num_vehicles=6, cameras=True, img_hw=(150, 200)
+        )
+        # deterministic: cav 0 -> m1 (lidar), cav 1 -> m2 (camera)
+        assign = generate_modality_assignment(root, ("m1", "m2"), in_order=True)
+        ap = str(tmp_path / "assign.json")
+        with open(ap, "w") as f:
+            json.dump(assign, f)
+        return root, ap
+
+    def _cfg(self, root, assignment_path):
+        from heal_tpu.config import load_yaml
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_heter_m1m2.yaml"))
+        cfg["fusion"]["dataset"] = "opv2v"
+        cfg["root_dir"] = root
+        cfg["test_dir"] = root
+        cfg["heter"]["assignment_path"] = assignment_path
+        cfg["heter"]["mapping_dict"] = {"m1": "m1", "m2": "m2"}
+        return cfg
+
+    def test_images_loaded_from_disk(self, tmp_path):
+        from heal_tpu.data import build_dataset
+        from heal_tpu.utils.camera import (
+            img_transform,
+            load_camera_images,
+            normalize_img,
+            sample_augmentation,
+        )
+
+        root, ap = self._make_tree(tmp_path)
+        cfg = self._cfg(root, ap)
+        ds = build_dataset(cfg, train=False)
+        sample = ds[0]
+        # slot 1 agent is camera -> packed into entry 0 of inputs_m2
+        assert sample["slots_m2"][0] == 1
+        imgs = sample["inputs_m2"]["imgs"]
+        assert imgs.shape == (3, 4, 128, 192, 3)
+
+        # eval aug policy is deterministic: packed image must equal the
+        # directly-transformed png
+        scen = sorted(os.listdir(root))[0]
+        cavs = sorted(os.listdir(os.path.join(root, scen)))
+        png = os.path.join(root, scen, cavs[1], "000000_camera0.png")
+        raw = load_camera_images([png])[0]
+        aug = cfg["heter"]["modality_setting"]["m2"]["data_aug_conf"]
+        policy = sample_augmentation(aug, is_train=False)
+        img_t, pr, pt = sample["inputs_m2"], None, None
+        want, pr, pt = img_transform(raw, *policy[1:])
+        np.testing.assert_allclose(
+            imgs[0, 0], normalize_img(want), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            sample["inputs_m2"]["post_rots"][0, 0], pr, atol=1e-6
+        )
+        # depth supervision has real hits (bins < n_bins somewhere)
+        bins = sample["inputs_m2"]["depth_bins"][0]
+        assert (bins < 16).sum() > 10
+
+    def test_calib_projects_lidar_into_image(self, tmp_path):
+        """The written calib + loader roundtrip: points that produced
+        bright pixels project back onto those pixels."""
+        from heal_tpu.data.opv2v import OPV2VBackend
+
+        root, ap = self._make_tree(tmp_path)
+        cfg = self._cfg(root, ap)
+        backend = OPV2VBackend(cfg, train=False)
+        scene = backend.scene(0)
+        cam_agent = scene["agents"][1]
+        assert "cameras_raw" in cam_agent
+        raw = cam_agent["cameras_raw"]
+        pts = cam_agent["points"]
+        rot, trans, K = raw["rots"][0], raw["trans"][0], raw["intrins"][0]
+        cam_pts = (pts[:, :3] - trans) @ rot
+        z = cam_pts[:, 2]
+        sel = z > 0.5
+        uv = cam_pts[sel] @ K.T
+        u = (uv[:, 0] / uv[:, 2]).astype(int)
+        v = (uv[:, 1] / uv[:, 2]).astype(int)
+        ih, iw = raw["imgs"][0].shape[:2]
+        ok = (u >= 0) & (u < iw) & (v >= 0) & (v < ih)
+        assert ok.sum() > 50
+        # splatted pixels carry the blue hit marker (background <= 70)
+        hits = raw["imgs"][0][v[ok], u[ok], 2]
+        assert (hits > 200).mean() > 0.9
+
+    def test_train_step_on_real_images(self, tmp_path):
+        import jax
+
+        from heal_tpu.data import build_dataset
+        from heal_tpu.losses import build_loss
+        from heal_tpu.models import build_model
+        from heal_tpu.parallel import Trainer
+        from heal_tpu.parallel.schedulers import build_optimizer
+        from heal_tpu.parallel.trainer import to_device
+
+        root, ap = self._make_tree(tmp_path)
+        cfg = self._cfg(root, ap)
+        ds = build_dataset(cfg, train=True)
+        model = build_model(cfg["model"])
+        criterion = build_loss(cfg["loss"])
+        tx = build_optimizer(cfg["optimizer"], cfg.get("lr_scheduler"), 4)
+        trainer = Trainer(
+            model=model, criterion=criterion, tx=tx, supervise_single=True
+        ).compile()
+        batch = to_device(next(ds.batches(2)))
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        state, aux = trainer.train_step(state, batch)
+        assert np.isfinite(float(aux["total_loss"]))
+        assert np.isfinite(float(aux["depth_loss"]))
+
+
 class TestHeterM1M2:
     def test_two_modality_train_step(self):
         import jax
