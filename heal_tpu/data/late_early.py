@@ -82,7 +82,7 @@ class LateAssembler(IntermediateAssembler):
         gt_ego, gt_ego_mask = self._gt_in_frame(
             scene["objects"], poses[0], self.gt_range
         )
-        return {
+        sample = {
             "points": points,
             "point_mask": pmask,
             "pos_equal_one": label["pos_equal_one"],
@@ -92,6 +92,42 @@ class LateAssembler(IntermediateAssembler):
             "gt_mask": gt_ego_mask.astype(np.float32),
             "transformation_matrix": t_to_ego.astype(np.float32),
         }
+        if self.params.get("heter"):
+            self._pack_heter_single(sample, scene, idx, agent)
+        return sample
+
+    def _pack_heter_single(self, sample, scene, idx, agent):
+        """Late-heter packing: every modality key is present (zeros when
+        it isn't this agent's type) plus a one-hot ``modality_flags`` so
+        batches stay static-shape across mixed-modality samples
+        (ref late_heter_fusion_dataset.py per-modality processors)."""
+        mod = agent.get("modality", "m1")
+        flags = np.zeros(len(self.modalities), np.float32)
+        for k, m in enumerate(self.modalities):
+            active = m == mod
+            if active:
+                flags[k] = 1.0
+            if self.sensor_type(m) == "lidar":
+                if active:
+                    inputs = {
+                        "points": sample["points"],
+                        "point_mask": sample["point_mask"],
+                    }
+                else:
+                    inputs = {
+                        "points": np.zeros_like(sample["points"]),
+                        "point_mask": np.zeros_like(sample["point_mask"]),
+                    }
+                sample[f"inputs_{m}"] = inputs
+            else:
+                if active:
+                    cams = self._pack_cameras(scene, [idx], [0], m, 1)
+                else:
+                    cams = self._pack_cameras(scene, [], [], m, 1)
+                sample[f"inputs_{m}"] = {
+                    k: v[0] for k, v in cams.items()
+                }
+        sample["modality_flags"] = flags
 
 
 class EarlyAssembler(IntermediateAssembler):

@@ -125,10 +125,21 @@ class HeterModelLate(nn.Module):
     def __call__(self, batch: dict, train: bool = False):
         feats = []
         aux_all = {}
-        for m in self.modalities:
+        target_hw = None
+        flags = batch.get("modality_flags")  # (B, M), heter-late batches
+        for k, m in enumerate(self.modalities):
             if f"inputs_{m}" not in batch:
                 continue
             feat, aux = self.branches[m](batch[f"inputs_{m}"], train)
+            if self.args[m].get("sensor_type", "lidar") == "camera":
+                if target_hw is not None:
+                    feat = center_crop_or_pad(feat, *target_hw)
+            else:
+                target_hw = feat.shape[1:3]
+            if flags is not None:
+                # zero out samples whose agent isn't this modality — the
+                # padded zero inputs still produce BN-bias activations
+                feat = feat * flags[:, k][:, None, None, None]
             feats.append(feat)
             if aux.get("depth_logits") is not None:
                 aux_all[f"depth_items_{m}"] = aux["depth_logits"]

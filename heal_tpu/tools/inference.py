@@ -14,10 +14,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from ..config import load_yaml
 from ..data import build_dataset
 from ..models import build_model
-from ..postprocess.decode import post_process_single, strip_padding
+from ..postprocess.decode import (
+    fuse_and_nms,
+    post_process_single,
+    strip_padding,
+)
 from ..utils import box_np, eval_np
 from ..utils.common import update_dict
 from . import checkpoint as ckpt_lib
@@ -83,21 +89,56 @@ def run_inference(
     gt_range = jnp.asarray(post["gt_range"], dtype=jnp.float32)
     stat = eval_np.new_result_stat((0.3, 0.5, 0.7))
 
-    n_batches = 0
-    for batch in dataset.batches(1, shuffle=False):
-        jbatch = jax.tree.map(jnp.asarray, batch)
-        out = infer(jbatch)
-        det = post_process_single(
-            out["cls_preds"][0],
-            out["reg_preds"][0],
-            out.get("dir_preds", [None])[0] if "dir_preds" in out else None,
-            anchors,
-            jnp.asarray(batch["transformation_matrix"][0]),
-            gt_range,
+    decode_one = jax.jit(
+        partial(
+            post_process_single,
+            anchors=anchors,
+            gt_range=gt_range,
             order=post["order"],
             score_threshold=post["target_args"]["score_threshold"],
             nms_threshold=post["nms_thresh"],
         )
+    )
+    merge = jax.jit(partial(fuse_and_nms, nms_threshold=post["nms_thresh"]))
+    late = cfg["fusion"]["core_method"] in ("late", "lateheter")
+
+    def _decode_batch(out, t_matrix):
+        return decode_one(
+            out["cls_preds"][0],
+            out["reg_preds"][0],
+            out["dir_preds"][0] if "dir_preds" in out else None,
+            transformation_matrix=jnp.asarray(t_matrix),
+        )
+
+    def _infer_late(batch):
+        """Per-agent forward -> project corners to ego -> cross-agent NMS
+        (ref tools/inference_utils.py:18-47)."""
+        from ..data.scene import collate
+
+        dets = []
+        ego = {
+            k: v for k, v in batch.items() if k != "agent_samples"
+        }
+        out = infer(jax.tree.map(jnp.asarray, ego))
+        dets.append(_decode_batch(out, batch["transformation_matrix"][0]))
+        for s in batch.get("agent_samples", [[]])[0]:
+            jb = jax.tree.map(jnp.asarray, collate([s]))
+            out = infer(jb)
+            dets.append(_decode_batch(out, s["transformation_matrix"]))
+        return merge(
+            [d["corners"] for d in dets],
+            [d["scores"] for d in dets],
+            [d["valid"] for d in dets],
+        )
+
+    n_batches = 0
+    for batch in dataset.batches(1, shuffle=False):
+        if late:
+            det = _infer_late(batch)
+        else:
+            jbatch = jax.tree.map(jnp.asarray, batch)
+            out = infer(jbatch)
+            det = _decode_batch(out, batch["transformation_matrix"][0])
         dense = strip_padding(jax.device_get(det))
         gt_mask = batch["gt_mask"][0] > 0
         gt_corners = box_np.boxes_to_corners_3d(
