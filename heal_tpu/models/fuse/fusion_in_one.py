@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ...ops.warp import warp_agents_to_ego
 from ..layers import ConvNormAct
+from .where2comm_comm import CommMask, apply_comm_mask
 
 NEG_INF = -1e9
 
@@ -34,7 +35,12 @@ def build_fusion(method: str, args: dict):
         "att": lambda: AttFusion(),
         "disconet": lambda: DiscoFusion(args.get("in_channels", 64)),
         "v2vnet": lambda: V2VNetFusion(args),
-        "where2comm": lambda: Where2commFusion(args.get("in_channels", 64)),
+        "where2comm": lambda: Where2commFusion(
+            args.get("in_channels", 64),
+            threshold=args.get("threshold", 0.01),
+            gaussian_smooth=args.get("gaussian_smooth", True),
+            smooth_sigma=args.get("smooth_sigma", 1.0),
+        ),
         "who2com": lambda: Who2comFusion(args.get("in_channels", 64)),
     }
     if method == "v2xvit":
@@ -187,15 +193,40 @@ class V2VNetFusion(nn.Module):
 
 
 class Where2commFusion(nn.Module):
-    """Multi-head attention fusion: ego queries all warped agents
-    (ref fusion_in_one.py:431-484, where2comm_attn.EncodeLayer)."""
+    """Multi-head attention fusion over confidence-masked transmissions
+    (ref fusion_in_one.py:431-484 + comm_modules/where2comm.py:34-79).
+
+    When ``confidence`` (per-agent detection confidence, (B, L, H, W, 1))
+    is given, non-ego agents transmit only cells whose smoothed confidence
+    exceeds ``threshold``; the fraction sent is returned as comm_rate.
+    """
 
     feature_dims: int
     num_heads: int = 8
+    threshold: float = 0.01
+    gaussian_smooth: bool = True
+    smooth_sigma: float = 1.0
 
     @nn.compact
-    def __call__(self, features, affine, agent_mask, train: bool = False):
+    def __call__(
+        self,
+        features,
+        affine,
+        agent_mask,
+        train: bool = False,
+        confidence=None,
+    ):
         b, l, h, w, c = features.shape
+        comm_rate = jnp.asarray(1.0, features.dtype)
+        if confidence is not None:
+            mask, comm_rate = CommMask(
+                threshold=self.threshold,
+                gaussian_smooth=self.gaussian_smooth,
+                smooth_sigma=self.smooth_sigma,
+            )(confidence, train)
+            # gate in the SENDER frame before transmission/warp
+            features = apply_comm_mask(features, mask)
+            self.sow("intermediates", "comm_rate", comm_rate)
         warped = warp_agents_to_ego(features, affine)
         # queries: ego pixels; keys/values: same pixel across agents
         q = warped[:, 0:1]  # (B, 1, H, W, C)
@@ -212,7 +243,10 @@ class Where2commFusion(nn.Module):
         # FFN + residual norms (EncodeLayer)
         y = nn.LayerNorm()(fused + q[:, 0])
         ff = nn.Dense(c)(nn.relu(nn.Dense(c)(y)))
-        return nn.LayerNorm()(y + ff)
+        out = nn.LayerNorm()(y + ff)
+        if confidence is not None:
+            return out, comm_rate
+        return out
 
 
 class Who2comFusion(nn.Module):

@@ -89,9 +89,39 @@ class HeterModelBaseline(nn.Module):
             feat_all = self.shrink(flat, train).reshape(
                 (b, l) + flat.shape[1:][:2] + (-1,)
             )
-        fused = self.fusion(
-            feat_all, batch["pairwise_affine"], agent_mask, train
-        )
+
+        # per-agent predictions from the SHARED heads: supervise_single
+        # targets and the where2comm transmission confidence (the
+        # reference reuses the cls head as psm,
+        # models/point_pillar_where2comm semantics)
+        need_single = a.get("supervise_single", False)
+        is_w2c = a["fusion_method"] == "where2comm"
+        confidence = None
+        if need_single or is_w2c:
+            flat = feat_all.reshape((b * l,) + feat_all.shape[2:])
+            single = self.heads(flat)
+            if need_single:
+                for k, v in single.items():
+                    out_aux[f"{k}_single"] = v
+            if is_w2c:
+                conf = jax.nn.sigmoid(single["cls_preds"]).max(
+                    axis=-1, keepdims=True
+                )
+                confidence = conf.reshape((b, l) + conf.shape[1:])
+
+        if is_w2c:
+            fused, comm_rate = self.fusion(
+                feat_all,
+                batch["pairwise_affine"],
+                agent_mask,
+                train,
+                confidence=confidence,
+            )
+            out_aux["comm_rate"] = comm_rate
+        else:
+            fused = self.fusion(
+                feat_all, batch["pairwise_affine"], agent_mask, train
+            )
         out = self.heads(fused)
         out.update(out_aux)
         return out

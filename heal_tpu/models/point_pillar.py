@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .encoders import PointPillarEncoder
@@ -175,9 +176,30 @@ class PointPillarBaseline(nn.Module):
                 norm=norm,
             )(feat, train)
         feat = feat.reshape((b, l) + feat.shape[1:])
-        fused = fusion(
-            feat, batch["pairwise_affine"], batch["agent_mask"], train
-        )
+        extra = {}
+        if method == "where2comm":
+            # per-agent confidence from the shared heads = the reference's
+            # psm (point_pillar_where2comm); gates transmissions + reports
+            # comm_rate
+            single = heads(feat.reshape((b * l,) + feat.shape[2:]))
+            conf = jax.nn.sigmoid(single["cls_preds"]).max(
+                axis=-1, keepdims=True
+            )
+            if a.get("supervise_single", False):
+                extra = {f"{k}_single": v for k, v in single.items()}
+            fused, comm_rate = fusion(
+                feat,
+                batch["pairwise_affine"],
+                batch["agent_mask"],
+                train,
+                confidence=conf.reshape((b, l) + conf.shape[1:]),
+            )
+            extra["comm_rate"] = comm_rate
+        else:
+            fused = fusion(
+                feat, batch["pairwise_affine"], batch["agent_mask"], train
+            )
         out = heads(fused)
         out["spatial_features_2d"] = fused
+        out.update(extra)
         return out

@@ -132,12 +132,15 @@ def run_inference(
         )
 
     n_batches = 0
+    comm_rates = []
     for batch in dataset.batches(1, shuffle=False):
         if late:
             det = _infer_late(batch)
         else:
             jbatch = jax.tree.map(jnp.asarray, batch)
             out = infer(jbatch)
+            if "comm_rate" in out:  # where2comm bandwidth metric
+                comm_rates.append(float(out["comm_rate"]))
             det = _decode_batch(out, batch["transformation_matrix"][0])
         dense = strip_padding(jax.device_get(det))
         gt_mask = batch["gt_mask"][0] > 0
@@ -173,6 +176,9 @@ def run_inference(
     result = eval_np.eval_final_results(
         stat, save_path=model_dir, infer_info=note or "intermediate"
     )
+    if comm_rates:
+        result["comm_rate"] = float(np.mean(comm_rates))
+        print(f"[inference] comm_rate {result['comm_rate']:.4f}")
     return result
 
 

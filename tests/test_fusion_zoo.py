@@ -83,3 +83,99 @@ class TestFusionZoo:
         v = module.init(jax.random.PRNGKey(0), feats, affine, solo)
         out = np.asarray(module.apply(v, feats, affine, solo))
         np.testing.assert_allclose(out[0], np.asarray(feats)[0, 0], atol=1e-6)
+
+
+class TestWhere2commMasks:
+    """Comm masks gate transmissions and report comm_rate
+    (ref comm_modules/where2comm.py:34-79)."""
+
+    def _fusion(self, threshold):
+        from heal_tpu.models.fuse import build_fusion
+
+        return build_fusion(
+            "where2comm", {"in_channels": 32, "threshold": threshold}
+        )
+
+    def test_comm_rate_decreases_with_threshold(self, setup):
+        import jax
+
+        feats, affine, mask = setup
+        conf = jax.nn.sigmoid(feats[..., :1])  # (B, L, H, W, 1) in (0,1)
+        rates = []
+        for thr in (0.0, 0.5, 0.9, 1.1):
+            mod = self._fusion(thr)
+            v = mod.init(
+                jax.random.PRNGKey(0), feats, affine, mask, False, conf
+            )
+            out, rate = mod.apply(
+                v, feats, affine, mask, False, confidence=conf
+            )
+            assert np.isfinite(np.asarray(out)).all()
+            rates.append(float(rate))
+        assert rates[0] == 1.0  # everything clears threshold 0
+        assert rates[-1] == 0.0  # nothing clears threshold > 1
+        assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+
+    def test_full_mask_equals_ego_only(self, setup):
+        """threshold > 1 suppresses every non-ego transmission: the fused
+        output must equal fusing with all collaborators zeroed."""
+        import jax
+        import jax.numpy as jnp
+
+        feats, affine, mask = setup
+        conf = jax.nn.sigmoid(feats[..., :1])
+        mod = self._fusion(1.1)
+        v = mod.init(jax.random.PRNGKey(0), feats, affine, mask, False, conf)
+        out_masked, rate = mod.apply(
+            v, feats, affine, mask, False, confidence=conf
+        )
+        ego_only = jnp.zeros_like(feats).at[:, 0].set(feats[:, 0])
+        out_ego, _ = mod.apply(
+            v, ego_only, affine, mask, False,
+            confidence=jnp.zeros_like(conf),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_masked), np.asarray(out_ego), atol=1e-5
+        )
+
+    def test_train_mode_is_passthrough(self, setup):
+        import jax
+
+        feats, affine, mask = setup
+        conf = jax.nn.sigmoid(feats[..., :1])
+        mod = self._fusion(0.9)
+        v = mod.init(jax.random.PRNGKey(0), feats, affine, mask, False, conf)
+        _, rate = mod.apply(
+            v, feats, affine, mask, True, confidence=conf
+        )
+        assert float(rate) == 1.0
+
+    def test_baseline_model_reports_comm_rate(self):
+        """point_pillar_baseline + where2comm emits comm_rate and the
+        _single head outputs used as transmission confidence."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.config import load_yaml
+        from heal_tpu.data import build_dataset
+        from heal_tpu.models import build_model
+
+        cfg = load_yaml(
+            os.path.join(
+                os.path.dirname(__file__), "configs", "tiny_intermediate.yaml"
+            )
+        )
+        cfg["model"]["args"]["fusion_method"] = "where2comm"
+        cfg["model"]["args"]["where2comm"] = {
+            "in_channels": 64, "threshold": 0.15,
+        }
+        cfg["model"]["args"]["supervise_single"] = True
+        ds = build_dataset(cfg, train=False)
+        batch = jax.tree.map(jnp.asarray, next(ds.batches(1, shuffle=False)))
+        model = build_model(cfg["model"])
+        v = model.init(jax.random.PRNGKey(0), batch, train=False)
+        out = model.apply(v, batch, train=False)
+        assert "comm_rate" in out and 0.0 <= float(out["comm_rate"]) <= 1.0
+        assert "cls_preds_single" in out
