@@ -73,11 +73,40 @@ class FusionDataset:
             raise KeyError(f"unknown fusion core_method {method!r}")
         self.modalities = self.assembler.modalities
 
+        # CoAlign: stage-1 detections pre-computed by
+        # tools/pose_graph_pre_calc feed box-align pose refinement
+        # (ref intermediate_heter_fusion_dataset.py:372-399 reads the
+        # stage1 json dump)
+        self._precalc = None
+        ba = params.get("box_align")
+        if ba and ba.get("precalc_path"):
+            import json
+            import os
+
+            if os.path.exists(ba["precalc_path"]):
+                with open(ba["precalc_path"]) as f:
+                    self._precalc = json.load(f)
+
     def __len__(self):
         return len(self.backend)
 
     def __getitem__(self, idx: int) -> dict:
-        return self.assembler.assemble(self.backend.scene(idx))
+        scene = self.backend.scene(idx)
+        if self._precalc is not None:
+            entry = self._precalc.get(str(idx))
+            if entry:
+                for agent, e in zip(scene["agents"], entry):
+                    agent["pred_centers"] = np.asarray(e["centers"])
+                    if "uncertainty" in e:
+                        # log-var x/y -> inverse-variance landmark weight
+                        u = np.asarray(e["uncertainty"])
+                        if u.size:
+                            agent["pred_uncertainty"] = np.exp(
+                                -u[:, :2].mean(axis=1)
+                            )
+                        else:
+                            agent["pred_uncertainty"] = np.ones(0)
+        return self.assembler.assemble(scene)
 
     @property
     def anchors(self):

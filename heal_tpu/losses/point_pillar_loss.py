@@ -108,6 +108,51 @@ class PointPillarLoss:
         self.cls = args["cls"]
         self.reg = args["reg"]
         self.dir = args.get("dir")
+        # IoU-quality branch (CoAlign/uncertainty configs, ref
+        # loss/point_pillar_loss.py:27-30,97-114): the iou head regresses
+        # 2*IoU(decoded pred, decoded target)-1 at positive anchors
+        self.iou = args.get("iou")
+        self.iou_cap = (self.iou or {}).get("max_positive_anchors", 512)
+        self.anchors = None  # set_anchors() before training with iou
+
+    def set_anchors(self, anchors):
+        """Anchor grid for the IoU branch's box decode (the trainer calls
+        this with the dataset's anchors; ref reads output_dict['anchor_box'])."""
+        self.anchors = jnp.asarray(anchors)
+
+    def _iou_loss(self, output_dict, target_dict, suffix, reg_weights, b):
+        """Static-shape IoU branch: top-K positive anchors per sample
+        (the reference boolean-indexes positives; K caps them)."""
+        from ..ops.geometry import decode_boxes
+        from ..utils.rotated_iou import aligned_boxes_iou3d
+
+        anchors = self.anchors.reshape(-1, 7)
+        iou_preds = output_dict[f"iou_preds{suffix}"].reshape(b, -1)
+        reg_preds = output_dict[f"reg_preds{suffix}"].reshape(b, -1, 7)
+        reg_targets = target_dict["targets"].reshape(b, -1, 7)
+
+        w = reg_weights.squeeze(-1)  # (B, N), > 0 at positives
+        k = min(self.iou_cap, w.shape[1])
+        top_w, idx = jax.lax.top_k(w, k)  # (B, K)
+        take = jax.vmap(lambda arr, i: arr[i])
+        boxes_pred = decode_boxes(
+            jax.lax.stop_gradient(take(reg_preds, idx)), anchors[idx]
+        )
+        boxes_tgt = decode_boxes(take(reg_targets, idx), anchors[idx])
+        iou = jax.lax.stop_gradient(
+            aligned_boxes_iou3d(
+                boxes_pred.astype(jnp.float32),
+                boxes_tgt.astype(jnp.float32),
+                xp=jnp,
+            )
+        )
+        loss = weighted_smooth_l1(
+            take(iou_preds, idx),
+            2.0 * iou - 1.0,
+            top_w,
+            self.iou["sigma"],
+        )
+        return loss.sum() * self.iou["weight"] / b
 
     def __call__(self, output_dict, target_dict, suffix: str = ""):
         cls_preds = output_dict[f"cls_preds{suffix}"]
@@ -164,6 +209,17 @@ class PointPillarLoss:
             ] / b
             total = total + dir_loss
             aux["dir_loss"] = dir_loss
+
+        if (
+            self.iou is not None
+            and f"iou_preds{suffix}" in output_dict
+            and self.anchors is not None
+        ):
+            iou_loss = self._iou_loss(
+                output_dict, target_dict, suffix, reg_weights, b
+            )
+            total = total + iou_loss
+            aux["iou_loss"] = iou_loss
 
         # LSS depth supervision on any camera modality present
         if "depth" in self.args:

@@ -14,6 +14,7 @@ class DetectionHeads(nn.Module):
     anchor_number: int
     use_dir: bool = True
     num_bins: int = 2
+    use_iou: bool = False  # IoU-quality branch (CoAlign configs)
 
     @nn.compact
     def __call__(self, x):
@@ -26,5 +27,9 @@ class DetectionHeads(nn.Module):
         if self.use_dir:
             out["dir_preds"] = nn.Conv(
                 self.num_bins * self.anchor_number, (1, 1), name="dir_head"
+            )(x)
+        if self.use_iou:
+            out["iou_preds"] = nn.Conv(
+                self.anchor_number, (1, 1), name="iou_head"
             )(x)
         return out

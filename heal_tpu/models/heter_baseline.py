@@ -47,6 +47,7 @@ class HeterModelBaseline(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
             name="heads",
         )
 
@@ -149,6 +150,7 @@ class HeterModelLate(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
             name="heads",
         )
 

@@ -175,6 +175,7 @@ class HeterPyramidCollab(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
             name="heads",
         )
         if "compressor" in a:
@@ -329,6 +330,7 @@ class HeterPyramidSingle(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
             name="heads",
         )
 

@@ -69,6 +69,7 @@ class PointPillar(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
         )
 
         points = batch["points"]  # (B, N, 4)
@@ -106,6 +107,7 @@ class PointPillarUncertainty(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
         )
         bev = encoder(batch["points"], batch["point_mask"], train)
         feat = backbone(bev, train)
@@ -158,6 +160,7 @@ class PointPillarBaseline(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
         )
 
         points = batch["points"]

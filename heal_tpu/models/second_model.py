@@ -50,6 +50,7 @@ class Second(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
         )
         bev = encoder(batch["points"], batch["point_mask"], train)
         feat = backbone(bev, train)
@@ -83,6 +84,7 @@ class SecondIntermediate(nn.Module):
             anchor_number=a["anchor_number"],
             use_dir="dir_args" in a,
             num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
         )
 
         points = batch["points"]  # (B, L, N, 4)

@@ -48,6 +48,7 @@ def post_process_single(
     dir_offset: float = 0.7853,
     num_bins: int = 2,
     anchor_free: bool = False,
+    unc_preds: jnp.ndarray | None = None,
 ):
     """Decode one sample's head outputs into padded detections.
 
@@ -109,12 +110,19 @@ def post_process_single(
     keep = nms_rotated_fixed(
         corners[:, :4, :2], top_scores, valid, nms_threshold
     )
-    return {
+    out = {
         "corners": corners,
         "scores": jnp.where(keep, top_scores, 0.0),
         "boxes": top_boxes,
         "valid": keep,
     }
+    if unc_preds is not None:
+        # per-box aleatoric uncertainty export (log-var x/y + log-kappa
+        # yaw), used to weight box-align landmarks — ref
+        # uncertainty_voxel_postprocessor.post_process_stage1(:32-113)
+        udim = unc_preds.size // n
+        out["uncertainty"] = unc_preds.reshape(n, udim)[top_idx]
+    return out
 
 
 def fuse_and_nms(

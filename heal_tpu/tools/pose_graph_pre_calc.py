@@ -70,23 +70,27 @@ def main(argv=None):
             det = post_process_single(
                 out["cls_preds"][0],
                 out["reg_preds"][0],
-                out.get("dir_preds", [None])[0]
-                if "dir_preds" in out
-                else None,
+                out["dir_preds"][0] if "dir_preds" in out else None,
                 anchors,
                 jnp.eye(4),
                 gt_range,
                 order=post["order"],
                 score_threshold=post["target_args"]["score_threshold"],
                 nms_threshold=post["nms_thresh"],
+                unc_preds=out["unc_preds"][0]
+                if "unc_preds" in out
+                else None,
             )
             dense = strip_padding(jax.device_get(det))
-            per_agent.append(
-                {
-                    "centers": dense["boxes"][:, :2].tolist(),
-                    "scores": dense["scores"].tolist(),
-                }
-            )
+            entry = {
+                "centers": dense["boxes"][:, :2].tolist(),
+                "scores": dense["scores"].tolist(),
+            }
+            if "uncertainty" in dense:
+                # (K, 3) log-var x/y + log-kappa yaw -> box-align weights
+                # (ref pose_graph_pre_calc dumps uncertainty alongside)
+                entry["uncertainty"] = dense["uncertainty"].tolist()
+            per_agent.append(entry)
         results[str(idx)] = per_agent
     out_path = args.out or os.path.join(
         args.model_dir, "stage1_boxes.json"

@@ -63,6 +63,8 @@ def main(argv=None):
 
     model = build_model(cfg["model"])
     criterion = build_loss(cfg["loss"])
+    if hasattr(criterion, "set_anchors"):
+        criterion.set_anchors(train_ds.anchors)  # IoU-branch box decode
 
     batch_size = cfg["train_params"]["batch_size"]
     epochs = args.epochs or cfg["train_params"]["epoches"]

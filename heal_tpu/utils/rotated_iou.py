@@ -143,3 +143,27 @@ def rotated_iou_matrix(corners_a, corners_b, xp=None):
     ca = xp.broadcast_to(ca, (n, m, 4, 2))
     cb = xp.broadcast_to(cb, (n, m, 4, 2))
     return rotated_iou_corners(ca, cb, xp)
+
+
+def aligned_boxes_iou3d(boxes_a, boxes_b, xp=None):
+    """Element-wise 3D IoU of rotated boxes (K, 7) in hwl order
+    [x, y, z, h, w, l, yaw].
+
+    Replaces the reference's aligned_boxes_iou3d_gpu
+    (pcdet_utils/iou3d_nms/iou3d_nms_utils.py:109) used by the
+    PointPillarLoss IoU branch: BEV polygon intersection x z-overlap.
+    """
+    xp = xp or _xp(boxes_a, boxes_b)
+    ca = box2d_to_corners(boxes_a[..., [0, 1, 5, 4, 6]], xp)
+    cb = box2d_to_corners(boxes_b[..., [0, 1, 5, 4, 6]], xp)
+    inter_bev = rect_intersection_area(ca, cb, xp)
+    ha, hb = boxes_a[..., 3], boxes_b[..., 3]
+    za0, za1 = boxes_a[..., 2] - ha / 2, boxes_a[..., 2] + ha / 2
+    zb0, zb1 = boxes_b[..., 2] - hb / 2, boxes_b[..., 2] + hb / 2
+    inter_z = xp.maximum(
+        xp.minimum(za1, zb1) - xp.maximum(za0, zb0), 0.0
+    )
+    inter = inter_bev * inter_z
+    vol_a = boxes_a[..., 4] * boxes_a[..., 5] * ha
+    vol_b = boxes_b[..., 4] * boxes_b[..., 5] * hb
+    return inter / xp.maximum(vol_a + vol_b - inter, _EPS)
