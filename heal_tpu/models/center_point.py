@@ -85,9 +85,88 @@ class CenterPointBaseline(nn.Module):
         method = a.get("fusion_method", "max")
         fargs = dict(a.get(method, {}) or {})
         fargs.setdefault("in_channels", feat.shape[-1])
-        fused = build_fusion(method, fargs)(
-            feat, batch["pairwise_affine"], batch["agent_mask"], train
-        )
+        heads = CenterHeads()
+        extra = {}
+        if method == "where2comm":
+            # heatmap confidence gates transmissions
+            # (ref models/center_point_where2comm.py)
+            import jax
+
+            single = heads(feat.reshape((b * l,) + feat.shape[2:]))
+            conf = jax.nn.sigmoid(single["cls_preds"])
+            if a.get("supervise_single", False):
+                extra = {f"{k}_single": v for k, v in single.items()}
+            fused, comm_rate = build_fusion(method, fargs)(
+                feat,
+                batch["pairwise_affine"],
+                batch["agent_mask"],
+                train,
+                confidence=conf.reshape((b, l) + conf.shape[1:]),
+            )
+            extra["comm_rate"] = comm_rate
+        else:
+            fused = build_fusion(method, fargs)(
+                feat, batch["pairwise_affine"], batch["agent_mask"], train
+            )
+        out = heads(fused)
+        out["spatial_features_2d"] = fused
+        out["anchor_free"] = True
+        out.update(extra)
+        return out
+
+
+@register_model("center_point_where2comm")
+class CenterPointWhere2comm(nn.Module):
+    """CenterPoint + Where2comm comm-masked fusion
+    (ref models/center_point_where2comm.py)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        return CenterPointBaseline(
+            args={**self.args, "fusion_method": "where2comm"}
+        )(batch, train)
+
+
+@register_model("center_point_baseline_multiscale")
+class CenterPointBaselineMultiscale(nn.Module):
+    """Per-backbone-level fusion variant
+    (ref models/center_point_baseline_multiscale.py): fuse each resnet
+    stage's features independently, then deblock-decode."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .fuse import build_fusion
+        from .point_pillar import _backbone_from_args
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        points = batch["points"]
+        pmask = batch["point_mask"]
+        b, l = points.shape[:2]
+        flat_p = points.reshape((b * l,) + points.shape[2:])
+        flat_m = pmask.reshape((b * l,) + pmask.shape[2:])
+        bev = _encoder(a, norm)(flat_p, flat_m, train)
+        backbone = _backbone_from_args(a, norm)
+        method = a.get("fusion_method", "max")
+        feats = backbone.encode(bev, train)
+        fused_levels = []
+        for i, f in enumerate(feats):
+            fargs = dict(a.get(method, {}) or {})
+            fargs.setdefault("in_channels", f.shape[-1])
+            fl = f.reshape((b, l) + f.shape[1:])
+            fused_levels.append(
+                build_fusion(method, fargs)(
+                    fl, batch["pairwise_affine"], batch["agent_mask"], train
+                )
+            )
+        fused = backbone.decode(fused_levels, train)
+        shrink = _shrink_from_args(a, norm)
+        if shrink is not None:
+            fused = shrink(fused, train)
         out = CenterHeads()(fused)
         out["spatial_features_2d"] = fused
         out["anchor_free"] = True

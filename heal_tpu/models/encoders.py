@@ -127,6 +127,15 @@ class PointPillarEncoder(nn.Module):
         flat_valid = flat_valid[order]
         flat_points = jnp.take(flat_points, order, axis=0)
 
+        if (
+            len(self.num_filters) == 1
+            and self.norm == "batch"
+            and self.use_absolute_xyz
+            and not self.with_distance
+        ):
+            # gather-free fused path (the standard PointPillars config)
+            return self._fused(flat_points, flat_ids, flat_valid, b, train)
+
         feats = self._decorate(flat_points, flat_ids, flat_valid, b * cells)
         for i, f in enumerate(self.num_filters):
             feats = PFNLayer(f, norm=self.norm, name=f"pfn_{i}")(
@@ -139,6 +148,104 @@ class PointPillarEncoder(nn.Module):
         )
         canvas = jnp.maximum(
             jnp.where(jnp.isfinite(canvas), canvas, 0.0), 0.0
+        )
+        canvas = canvas.reshape(b, cells, -1)[:, : nx * ny]
+        return canvas.reshape(b, ny, nx, -1)
+
+    def _fused(self, fp, fi, fv, b, train):
+        """Gather-free decorate+PFN+BN+scatter.
+
+        The PFN is linear and BatchNorm is per-channel affine, so the
+        decorated features' pillar-constant parts (cluster mean, pillar
+        center) can be folded into a PER-PILLAR additive term computed on
+        the segment table — the per-point mean[ids] gather of the naive
+        formulation (measured ~8 ms of the 13 ms encoder on v5e) never
+        happens. ReLU and max commute (both monotone), so
+        max_i relu(a_i + t_p) = relu(max_i a_i + t_p):
+            canvas_p = relu( segment_max(s.(p_i @ A)) + s.t_p + b )
+        Batch statistics in train mode use the same algebra
+        (E[y], E[y^2] decompose into point sums + cnt-weighted table sums).
+        """
+        nx, ny = self.grid_nx, self.grid_ny
+        cells = nx * ny + 1
+        f = self.num_filters[0]
+        s_total = b * cells
+
+        kernel = self.param(
+            "pfn_kernel", nn.initializers.lecun_normal(), (10, f)
+        )
+        scale = self.param("bn_scale", nn.initializers.ones, (f,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable(
+            "batch_stats", "bn_mean", lambda: jnp.zeros(f, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "bn_var", lambda: jnp.ones(f, jnp.float32)
+        )
+
+        w = fv.astype(fp.dtype)[:, None]
+        xyzw = jnp.concatenate([fp[:, :3] * w, w], axis=-1)
+        seg = jax.ops.segment_sum(
+            xyzw, fi, num_segments=s_total, indices_are_sorted=True
+        ).astype(jnp.float32)
+        cnt = seg[:, 3:4]
+        mean = seg[:, :3] / jnp.maximum(cnt, 1.0)
+
+        # pillar centers straight from the table index (no per-point work)
+        cs = jnp.arange(s_total, dtype=jnp.int32) % cells
+        xi = (cs % nx).astype(jnp.float32)
+        yi = (cs // nx).astype(jnp.float32)
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.lidar_range[:3]
+        center = jnp.stack(
+            [
+                xi * vx + (x0 + vx / 2),
+                yi * vy + (y0 + vy / 2),
+                jnp.full_like(xi, z0 + vz / 2),
+            ],
+            axis=-1,
+        )
+
+        k32 = kernel.astype(jnp.float32)
+        w_raw, w_mu, w_c = k32[:4], k32[4:7], k32[7:10]
+        # decorated = [p, p_xyz - mean, p_xyz - center]: fold the xyz
+        # weights together for the per-point GEMM
+        a_mat = w_raw.at[:3].add(w_mu + w_c)  # (4, F)
+        a_pt = (fp * w) @ a_mat.astype(fp.dtype)  # (N, F), invalid -> 0
+        t_tab = -(mean @ w_mu) - (center @ w_c)  # (S, F) f32
+
+        if train:
+            n_valid = jnp.maximum(w.astype(jnp.float32).sum(), 1.0)
+            a32 = a_pt.astype(jnp.float32)
+            sum_a = a32.sum(0)  # invalid rows already zero
+            seg_a = jax.ops.segment_sum(
+                a_pt, fi, num_segments=s_total, indices_are_sorted=True
+            ).astype(jnp.float32)
+            mean_y = (sum_a + (cnt * t_tab).sum(0)) / n_valid
+            e2 = (
+                (a32**2).sum(0)
+                + 2.0 * (seg_a * t_tab).sum(0)
+                + (cnt * t_tab**2).sum(0)
+            ) / n_valid
+            var_y = jnp.maximum(e2 - mean_y**2, 0.0)
+            if not self.is_initializing():
+                m = 0.9  # MaskedBatchNorm momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean_y
+                ra_var.value = m * ra_var.value + (1 - m) * var_y
+            mu, var = mean_y, var_y
+        else:
+            mu, var = ra_mean.value, ra_var.value
+
+        s_aff = scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-3)
+        b_aff = bias.astype(jnp.float32) - s_aff * mu
+
+        u = a_pt * s_aff.astype(a_pt.dtype)  # per point
+        tb = (t_tab * s_aff + b_aff).astype(a_pt.dtype)  # per pillar
+        m_seg = jax.ops.segment_max(
+            u, fi, num_segments=s_total, indices_are_sorted=True
+        )
+        canvas = jnp.where(
+            jnp.isfinite(m_seg), jnp.maximum(m_seg + tb, 0.0), 0.0
         )
         canvas = canvas.reshape(b, cells, -1)[:, : nx * ny]
         return canvas.reshape(b, ny, nx, -1)

@@ -38,8 +38,11 @@ def weighted_fuse(
     affine: (B, L, L, 2, 3) at this level's scale; agent_mask: (B, L).
     Mirrors pyramid_fuse.weighted_fuse(:17-63).
     """
-    warped_f = warp_agents_to_ego(features, affine, align_corners)
-    warped_s = warp_agents_to_ego(scores, affine, align_corners)
+    # one warp for features+score (concat on channels): halves the
+    # per-agent warp-canvas overhead vs two separate calls
+    cat = jnp.concatenate([features, scores.astype(features.dtype)], axis=-1)
+    warped = warp_agents_to_ego(cat, affine, align_corners)
+    warped_f, warped_s = warped[..., :-1], warped[..., -1:]
     # zeros mean "outside sender FOV" (scores are sigmoid + 1e-4 > 0 inside)
     logit = jnp.where(warped_s == 0.0, NEG_INF, warped_s)
     logit = jnp.where(agent_mask[:, :, None, None, None], logit, NEG_INF)

@@ -128,6 +128,124 @@ class HeterModelBaseline(nn.Module):
         return out
 
 
+@register_model("heter_model_baseline_ms")
+class HeterModelBaselineMS(nn.Module):
+    """Multiscale heterogeneous baseline: fuse at every fusion-backbone
+    level, then deblock-decode (ref models/heter_model_baseline_ms.py:
+    level 0 fuses the raw assembled features — the backbone's first
+    stage is omitted — and levels i>=1 fuse stage-i outputs)."""
+
+    args: Any
+
+    def setup(self):
+        from .fuse import build_fusion
+        from .resnet_bev import ResNetBEVBackbone
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        self.modalities = modality_list(a)
+        self.branches = {
+            m: ModalityBranch(
+                modality=m, cfg=a[m], norm=norm, name=f"branch_{m}"
+            )
+            for m in self.modalities
+        }
+        fb = a["fusion_backbone"]
+        self.backbone = ResNetBEVBackbone(
+            layer_nums=tuple(fb["layer_nums"]),
+            layer_strides=tuple(fb["layer_strides"]),
+            num_filters=tuple(fb["num_filters"]),
+            upsample_strides=tuple(fb.get("upsample_strides", ())),
+            num_upsample_filter=tuple(fb.get("num_upsample_filter", ())),
+            norm=norm,
+            name="fusion_backbone",
+        )
+        method = a["fusion_method"]
+        self.fusions = [
+            build_fusion(
+                method,
+                dict(
+                    a.get(method, {}) or {},
+                    in_channels=fb["num_filters"][i],
+                ),
+            )
+            for i in range(len(fb["layer_nums"]))
+        ]
+        self.shrink = _shrink_from_args(a, norm)
+        self.heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            name="heads",
+        )
+        if a.get("supervise_single", False):
+            self.heads_single = DetectionHeads(
+                anchor_number=a["anchor_number"],
+                use_dir="dir_args" in a,
+                num_bins=a.get("dir_args", {}).get("num_bins", 2),
+                name="heads_single",
+            )
+        else:
+            self.heads_single = None
+
+    def __call__(self, batch: dict, train: bool = False):
+        a = self.args
+        agent_mask = batch["agent_mask"]
+        b, l = agent_mask.shape
+
+        feat_all = None
+        out_aux = {}
+        for m in self.modalities:
+            if f"inputs_{m}" not in batch:
+                continue
+            inputs = batch[f"inputs_{m}"]
+            lead = jax.tree.leaves(inputs)[0]
+            lm = lead.shape[1]
+            flat = jax.tree.map(
+                lambda x: x.reshape((b * lm,) + x.shape[2:]), inputs
+            )
+            feat, aux = self.branches[m](flat, train)
+            if aux.get("depth_logits") is not None:
+                out_aux[f"depth_items_{m}"] = aux["depth_logits"]
+            if (
+                a[m].get("sensor_type", "lidar") == "camera"
+                and feat_all is not None
+            ):
+                feat = center_crop_or_pad(
+                    feat, feat_all.shape[2], feat_all.shape[3]
+                )
+            feat = feat.reshape((b, lm) + feat.shape[1:])
+            if feat_all is None:
+                h, w, c = feat.shape[2:]
+                feat_all = jnp.zeros((b, l + 1, h, w, c), feat.dtype)
+            feat_all = jax.vmap(
+                lambda canvas, slots, f: canvas.at[slots].add(f)
+            )(feat_all, batch[f"slots_{m}"], feat)
+        assert feat_all is not None
+        feat_all = feat_all[:, :l]
+
+        if self.heads_single is not None:
+            flat = feat_all.reshape((b * l,) + feat_all.shape[2:])
+            for k, v in self.heads_single(flat).items():
+                out_aux[f"{k}_single"] = v
+
+        x = feat_all.reshape((b * l,) + feat_all.shape[2:])
+        fused_levels = []
+        for i, fusion in enumerate(self.fusions):
+            if i > 0:
+                x = self.backbone.stages[i](x, train)
+            xl = x.reshape((b, l) + x.shape[1:])
+            fused_levels.append(
+                fusion(xl, batch["pairwise_affine"], agent_mask, train)
+            )
+        fused = self.backbone.decode(fused_levels, train)
+        if self.shrink is not None:
+            fused = self.shrink(fused, train)
+        out = self.heads(fused)
+        out.update(out_aux)
+        return out
+
+
 @register_model("heter_model_late")
 class HeterModelLate(nn.Module):
     """Late-fusion heterogeneous model: one agent per sample, modality

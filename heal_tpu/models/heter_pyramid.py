@@ -179,11 +179,21 @@ class HeterPyramidCollab(nn.Module):
             name="heads",
         )
         if "compressor" in a:
-            self.compressor = NaiveCompressor(
-                input_dim=a["compressor"]["input_dim"],
-                compress_ratio=a["compressor"]["compress_ratio"],
-                norm=norm,
-            )
+            comp = a["compressor"]
+            if comp.get("core_method", "naive") == "autoencoder":
+                from .layers import AutoEncoder
+
+                self.compressor = AutoEncoder(
+                    feature_num=comp["input_dim"],
+                    layer_num=comp.get("layer_num", 1),
+                    norm=norm,
+                )
+            else:
+                self.compressor = NaiveCompressor(
+                    input_dim=comp["input_dim"],
+                    compress_ratio=comp["compress_ratio"],
+                    norm=norm,
+                )
         else:
             self.compressor = None
 

@@ -194,6 +194,38 @@ class DownsampleConv(nn.Module):
         return x
 
 
+class AutoEncoder(nn.Module):
+    """Spatial+channel autoencoder compressor
+    (ref sub_modules/auto_encoder.py): layer_num encoder stages each
+    halving H/W (stride-2 conv) AND channels, mirrored transposed-conv
+    decoder stages restoring both."""
+
+    feature_num: int
+    layer_num: int = 1
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.feature_num
+        for i in range(self.layer_num):
+            x = ConvNormAct(c, 3, 2, norm=self.norm, name=f"enc_{i}a")(
+                x, train
+            )
+            x = ConvNormAct(
+                c // 2, 3, 1, norm=self.norm, name=f"enc_{i}b"
+            )(x, train)
+            c //= 2
+        for i in range(self.layer_num - 1, -1, -1):
+            x = DeconvNormAct(
+                2 * c, 2, norm=self.norm, name=f"dec_{i}a"
+            )(x, train)
+            x = ConvNormAct(
+                2 * c, 3, 1, norm=self.norm, name=f"dec_{i}b"
+            )(x, train)
+            c *= 2
+        return x
+
+
 class NaiveCompressor(nn.Module):
     """Channel autoencoder for bandwidth compression
     (ref sub_modules/naive_compress.py)."""

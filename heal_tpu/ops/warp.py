@@ -197,6 +197,7 @@ def warp_agents_to_ego(
     affine: jnp.ndarray,
     align_corners: bool = False,
     method: str = "auto",
+    skip_ego: bool = True,
 ):
     """Warp every agent's BEV map into the ego (slot-0) frame.
 
@@ -210,6 +211,10 @@ def warp_agents_to_ego(
     3-shear decomposition on the Pallas row-shift kernel (rigid affines,
     ~equal values up to separable-interpolation order, ~10x faster
     compiles); "auto" = shear on TPU, exact elsewhere.
+
+    skip_ego: the ego->ego affine is the identity, so slot 0 is passed
+    through untouched (a bilinear sample at exact integer coords is a
+    copy) — saves 1/L of the warp cost.
     """
     if method == "auto":
         method = "shear" if jax.default_backend() == "tpu" else "exact"
@@ -221,7 +226,10 @@ def warp_agents_to_ego(
         def per_agent(feat, m):
             return affine_warp(feat, m, align_corners)
 
-    def per_batch(feats, affs):
-        return jax.vmap(per_agent)(feats, affs[0])
-
-    return jax.vmap(per_batch)(features, affine)
+    to_ego = affine[:, 0]  # (B, L, 2, 3)
+    if skip_ego and features.shape[1] > 1:
+        rest = jax.vmap(jax.vmap(per_agent))(
+            features[:, 1:], to_ego[:, 1:]
+        )
+        return jnp.concatenate([features[:, :1], rest], axis=1)
+    return jax.vmap(jax.vmap(per_agent))(features, to_ego)

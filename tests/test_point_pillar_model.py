@@ -161,3 +161,137 @@ class TestLoss:
         assert float(l_perfect) < float(l_random)
         assert float(aux_p["cls_loss"]) < 0.01
         assert float(aux_p["reg_loss"]) < 1e-6
+
+
+class TestFusedEncoderEquivalence:
+    """The gather-free fused pillar path must equal the naive
+    decorate -> dense -> BN -> relu -> segment_max formulation."""
+
+    def _naive(self, pts, mask, variables, enc, train, stats=None):
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.ops import voxelize
+
+        nx, ny = enc.grid_nx, enc.grid_ny
+        cells = nx * ny + 1
+        b = pts.shape[0]
+        ids, valid = jax.vmap(
+            lambda p, m: voxelize.pillar_ids(
+                p, m, enc.lidar_range, enc.voxel_size, nx, ny
+            )
+        )(pts, mask)
+        fi = (ids + jnp.arange(b)[:, None] * cells).reshape(-1)
+        fv = valid.reshape(-1)
+        fp = pts.reshape(-1, 4)
+        feats = voxelize.decorate_points(
+            fp, fi, fv, enc.lidar_range, enc.voxel_size, nx, ny
+        )
+        # note decorate_points uses per-sample grids; replicate batch offset
+        # cluster means manually instead:
+        w = fv.astype(jnp.float32)[:, None]
+        xyzw = jnp.concatenate([fp[:, :3] * w, w], -1)
+        seg = jax.ops.segment_sum(xyzw, fi, num_segments=b * cells)
+        mean = seg[:, :3] / jnp.maximum(seg[:, 3:4], 1.0)
+        f_cluster = fp[:, :3] - mean[fi]
+        cell = fi % cells
+        xi = (cell % nx).astype(jnp.float32)
+        yi = (cell // nx).astype(jnp.float32)
+        vx, vy, vz = enc.voxel_size
+        x0, y0, z0 = enc.lidar_range[:3]
+        cx = xi * vx + x0 + vx / 2
+        cy = yi * vy + y0 + vy / 2
+        cz = jnp.full_like(cx, z0 + vz / 2)
+        f_center = fp[:, :3] - jnp.stack([cx, cy, cz], -1)
+        feats = jnp.concatenate([fp, f_cluster, f_center], -1) * w
+
+        p = variables["params"]
+        y = feats @ p["pfn_kernel"]
+        if train:
+            n_valid = jnp.maximum(w.sum(), 1.0)
+            mu = (y * w).sum(0) / n_valid
+            var = (((y - mu) ** 2) * w).sum(0) / n_valid
+        else:
+            mu = variables["batch_stats"]["bn_mean"]
+            var = variables["batch_stats"]["bn_var"]
+        z = (y - mu) * jax.lax.rsqrt(var + 1e-3)
+        z = z * p["bn_scale"] + p["bn_bias"]
+        z = jnp.maximum(z, 0.0) * w
+        canvas = jax.ops.segment_max(z, fi, num_segments=b * cells)
+        canvas = jnp.maximum(
+            jnp.where(jnp.isfinite(canvas), canvas, 0.0), 0.0
+        )
+        out = canvas.reshape(b, cells, -1)[:, : nx * ny]
+        if stats is not None:
+            stats["mu"] = mu
+            stats["var"] = var
+        return out.reshape(b, ny, nx, -1)
+
+    def _setup(self):
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.models.encoders import PointPillarEncoder
+
+        enc = PointPillarEncoder(
+            voxel_size=(0.8, 0.8, 4.0),
+            lidar_range=(-16, -16, -3, 16, 16, 1),
+            num_filters=(32,),
+        )
+        rng = np.random.default_rng(0)
+        pts = jnp.asarray(
+            rng.uniform(-1, 1, (2, 500, 4)) * np.array([15, 15, 1.5, 1]),
+            jnp.float32,
+        )
+        mask = jnp.asarray(rng.uniform(size=(2, 500)) > 0.1)
+        variables = enc.init(jax.random.PRNGKey(0), pts, mask, train=False)
+        # non-trivial BN stats + params
+        variables = jax.tree.map(np.asarray, variables)
+        variables["batch_stats"]["bn_mean"] = rng.normal(
+            0, 0.3, 32
+        ).astype(np.float32)
+        variables["batch_stats"]["bn_var"] = rng.uniform(
+            0.5, 2.0, 32
+        ).astype(np.float32)
+        variables["params"]["bn_bias"] = rng.normal(0, 0.2, 32).astype(
+            np.float32
+        )
+        variables["params"]["bn_scale"] = rng.normal(1, 0.3, 32).astype(
+            np.float32
+        )
+        import jax.numpy as jnp2
+
+        variables = jax.tree.map(jnp2.asarray, variables)
+        return enc, pts, mask, variables
+
+    def test_eval_equivalence(self):
+        enc, pts, mask, variables = self._setup()
+        out_fused = enc.apply(variables, pts, mask, train=False)
+        out_naive = self._naive(pts, mask, variables, enc, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_naive), atol=2e-4
+        )
+
+    def test_train_equivalence_and_stats(self):
+        import jax
+
+        enc, pts, mask, variables = self._setup()
+        out_fused, mutated = enc.apply(
+            variables, pts, mask, train=True, mutable=["batch_stats"]
+        )
+        stats = {}
+        out_naive = self._naive(
+            pts, mask, variables, enc, train=True, stats=stats
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_fused), np.asarray(out_naive), atol=3e-4
+        )
+        # running stats updated with the same masked batch statistics
+        want_mean = 0.9 * np.asarray(
+            variables["batch_stats"]["bn_mean"]
+        ) + 0.1 * np.asarray(stats["mu"])
+        np.testing.assert_allclose(
+            np.asarray(mutated["batch_stats"]["bn_mean"]),
+            want_mean,
+            atol=2e-4,
+        )
