@@ -450,6 +450,135 @@ def main(out_dir: str):
     cfg["model"] = pp_model("max")
     write(cfg, f"{out_dir}/v2xsim/point_pillar_fcooper.yaml")
 
+    # ---- 3 / 4-modality end-to-end training
+    for mods in (["m1", "m2", "m3"], ["m1", "m2", "m3", "m4"]):
+        tag = "".join(mods)
+        mapping = {
+            k: (k if k in mods else mods[0])
+            for k in ("m1", "m2", "m3", "m4")
+        }
+        cfg = base_cfg(
+            f"opv2v_{tag}_pyramid", "opv2v", "intermediateheter"
+        )
+        cfg["heter"] = heter_block(mods, mapping=mapping)
+        cfg["model"] = heal_model(mods)
+        cfg["loss"] = PYRAMID_LOSS
+        cfg["input_source"] = ["lidar", "camera"]
+        write(cfg, f"{out_dir}/opv2v/more_modality/{tag}_pyramid.yaml")
+
+        for method in ("att", "where2comm"):
+            cfg = base_cfg(
+                f"opv2v_{tag}_{method}", "opv2v", "intermediateheter"
+            )
+            cfg["heter"] = heter_block(mods, mapping=mapping)
+            model = heal_model(mods)
+            model["core_method"] = "heter_model_baseline"
+            model["args"].pop("fusion_backbone")
+            model["args"]["fusion_method"] = method
+            if method == "where2comm":
+                model["args"]["where2comm"] = {
+                    "in_channels": 64, "threshold": 0.01,
+                }
+            model["args"]["shrink_header"]["input_dim"] = 64
+            model["args"]["shrink_header"]["dim"] = [64]
+            model["args"]["in_head"] = 64
+            cfg["model"] = model
+            cfg["input_source"] = ["lidar", "camera"]
+            write(
+                cfg,
+                f"{out_dir}/opv2v/more_modality/{tag}_{method}.yaml",
+            )
+
+    # ---- multiscale heterogeneous baseline
+    cfg = base_cfg("opv2v_m1m2_ms_max", "opv2v", "intermediateheter")
+    cfg["heter"] = heter_block(
+        ["m1", "m2"],
+        mapping={"m1": "m1", "m2": "m2", "m3": "m1", "m4": "m2"},
+    )
+    model = heal_model(["m1", "m2"])
+    model["core_method"] = "heter_model_baseline_ms"
+    model["args"]["fusion_method"] = "max"
+    model["args"]["fusion_backbone"] = {
+        "layer_nums": [3, 5], "layer_strides": [1, 2],
+        "num_filters": [64, 128], "upsample_strides": [1, 2],
+        "num_upsample_filter": [128, 128],
+    }
+    model["args"]["shrink_header"]["input_dim"] = 256
+    cfg["model"] = model
+    cfg["input_source"] = ["lidar", "camera"]
+    write(cfg, f"{out_dir}/opv2v/more_modality/m1m2_ms_max.yaml")
+
+    # ---- late-heter (per-modality late fusion)
+    cfg = base_cfg("opv2v_lateheter_m1m2", "opv2v", "lateheter")
+    cfg["heter"] = heter_block(
+        ["m1", "m2"],
+        mapping={"m1": "m1", "m2": "m2", "m3": "m1", "m4": "m2"},
+    )
+    model = heal_model(["m1", "m2"])
+    model["core_method"] = "heter_model_late"
+    model["args"].pop("fusion_backbone")
+    model["args"]["shrink_header"]["input_dim"] = 64
+    model["args"]["shrink_header"]["dim"] = [64]
+    model["args"]["in_head"] = 64
+    cfg["model"] = model
+    cfg["input_source"] = ["lidar", "camera"]
+    write(cfg, f"{out_dir}/opv2v/more_modality/m1m2_lateheter.yaml")
+
+    # ---- HEAL stage-1 bandwidth finetune (compressor)
+    cfg = base_cfg("Pyramid_m1_compress", "opv2v", "intermediateheter")
+    cfg["heter"] = heter_block(
+        ["m1"], mapping={k: "m1" for k in ("m1", "m2", "m3", "m4")}
+    )
+    cfg["model"] = heal_model(["m1"])
+    cfg["model"]["args"]["compressor"] = {
+        "core_method": "naive", "input_dim": 64, "compress_ratio": 4,
+    }
+    cfg["loss"] = PYRAMID_LOSS
+    write(cfg, f"{out_dir}/opv2v/heal/stage1/m1_pyramid_compress.yaml")
+
+    # ---- CenterPoint family
+    cfg = base_cfg(
+        "opv2v_center_point_where2comm", "opv2v", "intermediate"
+    )
+    model = pp_model("where2comm")
+    model["core_method"] = "center_point_where2comm"
+    model["args"]["where2comm"] = {"threshold": 0.01}
+    cfg["model"] = model
+    cfg["loss"] = {
+        "core_method": "center_point_loss",
+        "args": {"cls_weight": 1.0, "reg_weight": 2.0},
+    }
+    write(cfg, f"{out_dir}/opv2v/lidar_only/center_point_where2comm.yaml")
+
+    # ---- V2XSet family (same folder layout as OPV2V, no hdf5)
+    for method in ("max", "att"):
+        cfg = base_cfg(
+            f"v2xset_point_pillar_{method}", "v2xset", "intermediate"
+        )
+        cfg["model"] = pp_model(method)
+        write(cfg, f"{out_dir}/v2xset/lidar_only/{method}.yaml")
+
+    cfg = base_cfg("v2xset_m1_pyramid", "v2xset", "intermediateheter")
+    cfg["heter"] = heter_block(
+        ["m1"], mapping={k: "m1" for k in ("m1", "m2", "m3", "m4")}
+    )
+    cfg["heter"]["assignment_path"] = (
+        "modality_assign/v2xset_4modality.json"
+    )
+    cfg["model"] = heal_model(["m1"])
+    cfg["loss"] = PYRAMID_LOSS
+    write(cfg, f"{out_dir}/v2xset/heal/stage1/m1_pyramid.yaml")
+
+    cfg = base_cfg("v2xset_m1m2m3m4_pyramid", "v2xset", "intermediateheter")
+    cfg["heter"] = heter_block(["m1", "m2", "m3", "m4"])
+    cfg["heter"]["assignment_path"] = (
+        "modality_assign/v2xset_4modality.json"
+    )
+    cfg["model"] = heal_model(["m1", "m2", "m3", "m4"])
+    cfg["loss"] = PYRAMID_LOSS
+    cfg["input_source"] = ["lidar", "camera"]
+    write(cfg, f"{out_dir}/v2xset/heal/final_infer/m1m2m3m4.yaml")
+
     print(f"config corpus written under {out_dir}")
 
 

@@ -212,9 +212,9 @@ class PointPillarEncoder(nn.Module):
         # weights together for the per-point GEMM
         a_mat = w_raw.at[:3].add(w_mu + w_c)  # (4, F)
         a_pt = (fp * w) @ a_mat.astype(fp.dtype)  # (N, F), invalid -> 0
-        t_tab = -(mean @ w_mu) - (center @ w_c)  # (S, F) f32
 
         if train:
+            t_tab = -(mean @ w_mu) - (center @ w_c)  # (S, F) f32
             n_valid = jnp.maximum(w.astype(jnp.float32).sum(), 1.0)
             a32 = a_pt.astype(jnp.float32)
             sum_a = a32.sum(0)  # invalid rows already zero
@@ -240,7 +240,14 @@ class PointPillarEncoder(nn.Module):
         b_aff = bias.astype(jnp.float32) - s_aff * mu
 
         u = a_pt * s_aff.astype(a_pt.dtype)  # per point
-        tb = (t_tab * s_aff + b_aff).astype(a_pt.dtype)  # per pillar
+        # fold the BN scale into the small (3, F) matrices so the big
+        # (S, F) table term is produced directly in the compute dtype —
+        # one table-sized write instead of an f32 intermediate + cast
+        tb = (
+            -(mean.astype(a_pt.dtype) @ (w_mu * s_aff).astype(a_pt.dtype))
+            - (center.astype(a_pt.dtype) @ (w_c * s_aff).astype(a_pt.dtype))
+            + b_aff.astype(a_pt.dtype)
+        )
         m_seg = jax.ops.segment_max(
             u, fi, num_segments=s_total, indices_are_sorted=True
         )
