@@ -107,6 +107,13 @@ def _derive_grid_and_anchors(param: dict, set_grid_key: str | None = None) -> di
     anchor_args["H"] = math.ceil((cav_lidar_range[4] - cav_lidar_range[1]) / vh)
     anchor_args["D"] = math.ceil((cav_lidar_range[5] - cav_lidar_range[2]) / vd)
     anchor_args.setdefault("cav_lidar_range", cav_lidar_range)
+    # two-stage models decode stage-1 proposals in-model and need the
+    # derived anchor grid in their args
+    if param.get("model", {}).get("core_method") in ("fpvrcnn",):
+        param["model"]["args"]["anchor_args"] = anchor_args
+        param["model"]["args"].setdefault(
+            "order", param["postprocess"].get("order", "hwl")
+        )
     return param
 
 

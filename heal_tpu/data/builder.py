@@ -54,10 +54,19 @@ class FusionDataset:
         self.train = train
         self.backend = _build_backend(params, train)
         method = params["fusion"]["core_method"]
-        if method in (
+        if method == "intermediate2stage":
+            # two-stage models (FPV-RCNN) train their first stage on
+            # per-agent labels: single supervision is part of the dataset
+            # contract, not an option
+            # (ref intermediate_2stage_fusion_dataset.py:33 'stage1' labels)
+            params = dict(params)
+            model = dict(params.get("model", {}))
+            model["args"] = dict(model.get("args", {}), supervise_single=True)
+            params["model"] = model
+            self.assembler = IntermediateAssembler(params, train)
+        elif method in (
             "intermediate",
             "intermediateheter",
-            "intermediate2stage",
             "intermediateheterinfer",
         ):
             self.assembler = IntermediateAssembler(params, train)

@@ -5,6 +5,7 @@ Capability of reference ``opencood/loss``: each loss is a callable
 its config ``core_method`` name.
 """
 from . import center_point_loss  # noqa: F401
+from . import fpvrcnn_loss  # noqa: F401
 from . import point_pillar_disconet_loss  # noqa: F401
 from . import point_pillar_loss  # noqa: F401
 from . import point_pillar_pyramid_loss  # noqa: F401

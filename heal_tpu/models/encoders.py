@@ -184,27 +184,6 @@ class PointPillarEncoder(nn.Module):
         )
 
         w = fv.astype(fp.dtype)[:, None]
-        xyzw = jnp.concatenate([fp[:, :3] * w, w], axis=-1)
-        seg = jax.ops.segment_sum(
-            xyzw, fi, num_segments=s_total, indices_are_sorted=True
-        ).astype(jnp.float32)
-        cnt = seg[:, 3:4]
-        mean = seg[:, :3] / jnp.maximum(cnt, 1.0)
-
-        # pillar centers straight from the table index (no per-point work)
-        cs = jnp.arange(s_total, dtype=jnp.int32) % cells
-        xi = (cs % nx).astype(jnp.float32)
-        yi = (cs // nx).astype(jnp.float32)
-        vx, vy, vz = self.voxel_size
-        x0, y0, z0 = self.lidar_range[:3]
-        center = jnp.stack(
-            [
-                xi * vx + (x0 + vx / 2),
-                yi * vy + (y0 + vy / 2),
-                jnp.full_like(xi, z0 + vz / 2),
-            ],
-            axis=-1,
-        )
 
         k32 = kernel.astype(jnp.float32)
         w_raw, w_mu, w_c = k32[:4], k32[4:7], k32[7:10]
@@ -213,8 +192,44 @@ class PointPillarEncoder(nn.Module):
         a_mat = w_raw.at[:3].add(w_mu + w_c)  # (4, F)
         a_pt = (fp * w) @ a_mat.astype(fp.dtype)  # (N, F), invalid -> 0
 
+        # pillar centers straight from the table index (no per-point work)
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.lidar_range[:3]
+
+        def centers_of(cell_ids):
+            xi = (cell_ids % nx).astype(jnp.float32)
+            yi = (cell_ids // nx).astype(jnp.float32)
+            return jnp.stack(
+                [
+                    xi * vx + (x0 + vx / 2),
+                    yi * vy + (y0 + vy / 2),
+                    jnp.full_like(xi, z0 + vz / 2),
+                ],
+                axis=-1,
+            )
+
+        center = centers_of(jnp.arange(s_total, dtype=jnp.int32) % cells)
+
+        # mean term via a WIDE segment_sum: XLA's TPU scatter is ~4x
+        # slower for narrow (<64-lane) operands, so instead of summing
+        # (xyz, 1) per pillar we sum the already-projected per-point
+        # contribution local_xyz @ Wmu (F channels) + a count channel.
+        # Local (pillar-centered) coords keep bf16 precision:
+        #   mean @ Wmu = center @ Wmu + (seg_sum(local)/cnt) @ Wmu
+        local = (fp[:, :3] - centers_of(fi % cells)) * w
+        g = jnp.concatenate(
+            [local @ w_mu.astype(fp.dtype), w], axis=-1
+        )  # (N, F+1)
+        seg = jax.ops.segment_sum(
+            g, fi, num_segments=s_total, indices_are_sorted=True
+        ).astype(jnp.float32)
+        cnt = seg[:, f : f + 1]
+        t_tab = (
+            -seg[:, :f] / jnp.maximum(cnt, 1.0)
+            - center @ (w_mu + w_c)
+        )  # (S, F) f32 = -(mean @ Wmu) - (center @ Wc)
+
         if train:
-            t_tab = -(mean @ w_mu) - (center @ w_c)  # (S, F) f32
             n_valid = jnp.maximum(w.astype(jnp.float32).sum(), 1.0)
             a32 = a_pt.astype(jnp.float32)
             sum_a = a32.sum(0)  # invalid rows already zero
@@ -240,14 +255,7 @@ class PointPillarEncoder(nn.Module):
         b_aff = bias.astype(jnp.float32) - s_aff * mu
 
         u = a_pt * s_aff.astype(a_pt.dtype)  # per point
-        # fold the BN scale into the small (3, F) matrices so the big
-        # (S, F) table term is produced directly in the compute dtype —
-        # one table-sized write instead of an f32 intermediate + cast
-        tb = (
-            -(mean.astype(a_pt.dtype) @ (w_mu * s_aff).astype(a_pt.dtype))
-            - (center.astype(a_pt.dtype) @ (w_c * s_aff).astype(a_pt.dtype))
-            + b_aff.astype(a_pt.dtype)
-        )
+        tb = (t_tab * s_aff + b_aff).astype(a_pt.dtype)  # per pillar
         m_seg = jax.ops.segment_max(
             u, fi, num_segments=s_total, indices_are_sorted=True
         )

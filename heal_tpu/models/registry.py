@@ -33,6 +33,8 @@ def build_model(model_cfg: dict):
     if name not in MODEL_REGISTRY:
         # lazy import of model files on first use
         from . import center_point  # noqa: F401
+        from . import ciassd  # noqa: F401
+        from . import fpvrcnn  # noqa: F401
         from . import heter_baseline  # noqa: F401
         from . import heter_pyramid  # noqa: F401
         from . import pixor  # noqa: F401

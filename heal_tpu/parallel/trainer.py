@@ -44,6 +44,14 @@ def _label_targets(batch: dict) -> dict:
     for key in ("heatmap", "box_targets", "reg_mask"):  # anchor-free
         if key in batch:
             out[key] = batch[key]
+    # two-stage losses (fpvrcnn) consume per-agent stage-1 labels and the
+    # ego-frame GT boxes directly
+    for key in (
+        "pos_equal_one_single", "neg_equal_one_single", "targets_single",
+        "gt_boxes", "gt_mask",
+    ):
+        if key in batch:
+            out[key] = batch[key]
     # camera depth supervision targets ride along per modality
     for key, value in batch.items():
         if key.startswith("inputs_") and isinstance(value, dict):
