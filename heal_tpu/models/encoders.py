@@ -28,7 +28,7 @@ class MaskedBatchNorm(nn.Module):
     a fixed N.
     """
 
-    momentum: float = 0.9  # see layers.Norm — 0.99 converges too slowly
+    momentum: float | None = None  # None -> layers default (see layers.Norm)
     epsilon: float = 1e-3
 
     @nn.compact
@@ -49,7 +49,10 @@ class MaskedBatchNorm(nn.Module):
             mean = (x * w[:, None]).sum(0) / denom
             var = (((x - mean) ** 2) * w[:, None]).sum(0) / denom
             if not self.is_initializing():
-                m = self.momentum
+                from .layers import default_bn_momentum
+
+                m = (self.momentum if self.momentum is not None
+                     else default_bn_momentum())
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
         else:
@@ -244,7 +247,9 @@ class PointPillarEncoder(nn.Module):
             ) / n_valid
             var_y = jnp.maximum(e2 - mean_y**2, 0.0)
             if not self.is_initializing():
-                m = 0.9  # MaskedBatchNorm momentum
+                from .layers import default_bn_momentum
+
+                m = default_bn_momentum()  # MaskedBatchNorm momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean_y
                 ra_var.value = m * ra_var.value + (1 - m) * var_y
             mu, var = mean_y, var_y

@@ -17,19 +17,38 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+# Default BatchNorm momentum. torch's 0.1 ~= flax 0.9; the reference uses
+# torch-0.01 (flax 0.99), which needs tens of thousands of steps for
+# running stats to converge — eval-mode predictions are garbage on shorter
+# runs (found via overfit-AP: train-mode AP 0.83, eval-mode 0.0). 0.9 is
+# the default; set ``model.args.bn_momentum: 0.99`` for reference parity
+# on long schedules (build_model applies it globally).
+_BN_MOMENTUM = 0.9
+
+
+def set_default_bn_momentum(momentum: float):
+    global _BN_MOMENTUM
+    _BN_MOMENTUM = float(momentum)
+
+
+def default_bn_momentum() -> float:
+    return _BN_MOMENTUM
+
+
 class Norm(nn.Module):
     kind: str = "batch"
-    momentum: float = 0.9  # torch 0.1; the reference uses 0.01 (flax 0.99), which
-    # needs tens of thousands of steps for running stats to converge -
-    # eval-mode predictions are garbage on shorter runs (found via
-    # overfit-AP: train-mode AP 0.83, eval-mode 0.0)
+    momentum: float | None = None  # None -> the global default
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.kind == "batch":
             return nn.BatchNorm(
                 use_running_average=not train,
-                momentum=self.momentum,
+                momentum=(
+                    self.momentum
+                    if self.momentum is not None
+                    else _BN_MOMENTUM
+                ),
                 epsilon=1e-3,
             )(x)
         if self.kind == "group":

@@ -47,6 +47,10 @@ def build_model(model_cfg: dict):
             f"unknown model core_method {name!r}; registered: "
             f"{sorted(MODEL_REGISTRY)}"
         )
+    if "bn_momentum" in model_cfg.get("args", {}):
+        from .layers import set_default_bn_momentum
+
+        set_default_bn_momentum(model_cfg["args"]["bn_momentum"])
     return MODEL_REGISTRY[name](args=model_cfg["args"])
 
 
