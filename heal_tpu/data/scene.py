@@ -98,7 +98,8 @@ class IntermediateAssembler:
 
         # comm-range + modality filters w.r.t. ego, ego first, cap at
         # max_cav (ref intermediate_heter_fusion_dataset.py:342-357)
-        allowed = (self.params.get("heter") or {}).get("allowed_modalities")
+        heter = self.params.get("heter") or {}
+        allowed = heter.get("allowed_modalities")
         keep = [0]
         for i in range(1, len(agents)):
             d = np.linalg.norm(poses[i][:2] - poses[0][:2])
@@ -107,7 +108,12 @@ class IntermediateAssembler:
             if allowed and agents[i].get("modality", "m1") not in allowed:
                 continue
             keep.append(i)
-        keep = keep[: self.max_cav]
+        # agents-added-in-order eval: only the FIRST use_cav agents
+        # collaborate while GT still comes from the whole scene
+        # (ref heter_infer/intermediate_heter_infer_fusion_dataset.py:41-60)
+        use_cav = heter.get("use_cav")
+        cap = min(self.max_cav, use_cav) if use_cav else self.max_cav
+        keep = keep[:cap]
 
         L = self.max_cav
         n_valid = len(keep)

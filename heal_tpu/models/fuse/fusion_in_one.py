@@ -166,8 +166,11 @@ class V2VNetFusion(nn.Module):
             updated = []
             for i in range(l):
                 aff_i = jnp.roll(affine, -i, axis=1)  # row i first
-                warped = warp_agents_to_ego(node, aff_i)  # into frame i
-                roi = warp_agents_to_ego(ones, aff_i)
+                # slot 0 of the rolled affine is identity only for i == 0
+                warped = warp_agents_to_ego(
+                    node, aff_i, skip_ego=(i == 0)
+                )  # into frame i
+                roi = warp_agents_to_ego(ones, aff_i, skip_ego=(i == 0))
                 ego_i = jnp.broadcast_to(node[:, i : i + 1], warped.shape)
                 msg = msg_cnn(
                     jnp.concatenate([warped, ego_i], axis=-1).reshape(

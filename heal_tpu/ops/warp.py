@@ -138,15 +138,14 @@ def affine_warp_shear(src: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     k = jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32)
     theta_r = theta - k.astype(jnp.float32) * (jnp.pi / 2)
     km = jnp.mod(k, 4)
-    canvas = jax.lax.switch(
-        km,
-        [
-            lambda t: t,
-            lambda t: jnp.rot90(t, k=1, axes=(0, 1)),
-            lambda t: jnp.rot90(t, k=2, axes=(0, 1)),
-            lambda t: jnp.rot90(t, k=3, axes=(0, 1)),
-        ],
-        canvas,
+    # decomposed 90-deg rotation: under vmap a lax.switch would execute
+    # ALL four rot90 branches per agent; flip180 is an elementwise
+    # reversed read (no relayout) and only one real rot90 remains
+    flip180 = (km == 2) | (km == 3)
+    canvas = jnp.where(flip180, canvas[::-1, ::-1, :], canvas)
+    do90 = (km == 1) | (km == 3)
+    canvas = jnp.where(
+        do90, jnp.rot90(canvas, k=1, axes=(0, 1)), canvas
     )
     # t' = R(-k pi/2) t
     ck = jnp.cos(-k.astype(jnp.float32) * jnp.pi / 2)

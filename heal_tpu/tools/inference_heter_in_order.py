@@ -29,27 +29,30 @@ def run_in_order(
     modality_order = sorted((heter.get("modality_setting") or {"m1": {}}).keys())
     results = {}
     for k in range(1, len(modality_order) + 1):
-        allowed = modality_order[:k]
+        # the FIRST k agents collaborate (GT stays scene-wide) with the
+        # in-order modality assignment — reference heter-infer semantics
+        # (intermediate_heter_infer_fusion_dataset.py:41-60), not a
+        # modality filter
         override = {
             "comm_range": comm_range,
             "heter": {
                 "mapping_dict": {m: m for m in modality_order},
-                "allowed_modalities": allowed,
+                "use_cav": k,
             },
         }
         if lidar_degrade:
             override["heter"]["lidar_channels_dict"] = lidar_degrade
-        note = "in_order_" + "".join(allowed)
+        tag = "".join(modality_order[:k])
         res = run_inference(
             model_dir,
-            note=note,
+            note=f"in_order_{tag}",
             max_batches=max_batches,
             cfg_override=override,
         )
-        results["".join(allowed)] = {
+        results[tag] = {
             key: v for key, v in res.items() if key.startswith("ap")
         }
-        print(f"[in-order {allowed}] {results[''.join(allowed)]}")
+        print(f"[in-order k={k}] {results[tag]}")
     with open(os.path.join(model_dir, "ap_in_order.json"), "w") as f:
         json.dump(results, f, indent=2)
     return results

@@ -55,3 +55,43 @@ class TestAffineWarp:
         out = np.asarray(affine_warp(jnp.asarray(src), M))
         assert out[4, 2, 0] == pytest.approx(1.0)
         assert out[4, 4, 0] == pytest.approx(0.0)
+
+
+class TestSkipEgo:
+    def test_skip_ego_matches_identity_warp(self):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops.warp import warp_agents_to_ego
+
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.normal(0, 1, (1, 3, 16, 24, 8)), jnp.float32)
+        # slot 0 identity, others rotated
+        aff = np.tile(np.array([[1.0, 0, 0], [0, 1, 0]], np.float32),
+                      (1, 3, 3, 1, 1))
+        c, s = np.cos(0.3), np.sin(0.3)
+        aff[0, 0, 1] = [[c, -s, 0.1], [s, c, 0.0]]
+        aff[0, 0, 2] = [[c, s, 0.0], [-s, c, 0.1]]
+        aff = jnp.asarray(aff)
+        skip = warp_agents_to_ego(feats, aff, skip_ego=True, method="exact")
+        full = warp_agents_to_ego(feats, aff, skip_ego=False, method="exact")
+        np.testing.assert_allclose(
+            np.asarray(skip), np.asarray(full), atol=1e-5
+        )
+
+    def test_skip_ego_wrong_when_slot0_not_identity(self):
+        """Guards the V2VNet rolled-affine call sites: when slot 0 is NOT
+        the identity, skipping it changes the result."""
+        import jax.numpy as jnp
+
+        from heal_tpu.ops.warp import warp_agents_to_ego
+
+        rng = np.random.default_rng(1)
+        feats = jnp.asarray(rng.normal(0, 1, (1, 2, 16, 24, 4)), jnp.float32)
+        aff = np.tile(np.array([[1.0, 0, 0], [0, 1, 0]], np.float32),
+                      (1, 2, 2, 1, 1))
+        c, s = np.cos(0.5), np.sin(0.5)
+        aff[0, 0, 0] = [[c, -s, 0.0], [s, c, 0.0]]  # non-identity slot 0
+        aff = jnp.asarray(aff)
+        skip = warp_agents_to_ego(feats, aff, skip_ego=True, method="exact")
+        full = warp_agents_to_ego(feats, aff, skip_ego=False, method="exact")
+        assert np.abs(np.asarray(skip) - np.asarray(full)).max() > 0.1
