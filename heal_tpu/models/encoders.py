@@ -188,7 +188,9 @@ class PointPillarEncoder(nn.Module):
 
         w = fv.astype(fp.dtype)[:, None]
 
-        k32 = kernel.astype(jnp.float32)
+        # jnp.asarray: checkpoint-loaded params arrive as numpy arrays,
+        # which lack the .at updater used below
+        k32 = jnp.asarray(kernel, jnp.float32)
         w_raw, w_mu, w_c = k32[:4], k32[4:7], k32[7:10]
         # decorated = [p, p_xyz - mean, p_xyz - center]: fold the xyz
         # weights together for the per-point GEMM

@@ -51,6 +51,14 @@ def build_fusion(method: str, args: dict):
         from .cobevt import CoBEVTFusion
 
         return CoBEVTFusion(args)
+    if method == "when2com":
+        from .legacy import When2comFusion
+
+        return When2comFusion(args)
+    if method == "transformer":
+        from .legacy import TransformerFusion
+
+        return TransformerFusion(args)
     if method not in table:
         raise KeyError(f"unknown fusion method {method!r}")
     return table[method]()

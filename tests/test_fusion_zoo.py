@@ -35,6 +35,8 @@ ALL_METHODS = [
     ("who2com", {"in_channels": 32}),
     ("v2xvit", {"depth": 1}),
     ("cobevt", {"input_dim": 32, "window_size": 4, "depth": 1}),
+    ("when2com", {"in_channels": 32, "policy_width": 32, "mode": "activated"}),
+    ("transformer", {"in_channels": 32, "n_head": 4}),
 ]
 
 
