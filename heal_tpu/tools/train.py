@@ -41,6 +41,24 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def backup_source(model_dir: str) -> None:
+    """Snapshot the heal_tpu source into the run dir so every training
+    run stays reproducible even after the tree moves on (reference
+    tools/train_utils.backup_script:15-26 copies models/data_utils/
+    utils/loss into the log dir)."""
+    import shutil
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(model_dir, "scripts")
+    if os.path.exists(dst):
+        return
+    shutil.copytree(
+        pkg_root,
+        os.path.join(dst, "heal_tpu"),
+        ignore=shutil.ignore_patterns("__pycache__", "*.so", "*.o"),
+    )
+
+
 def setup_run_dir(cfg: dict, args) -> str:
     if args.model_dir:
         model_dir = args.model_dir
@@ -49,6 +67,7 @@ def setup_run_dir(cfg: dict, args) -> str:
         model_dir = os.path.join("heal_tpu_logs", f"{cfg['name']}_{stamp}")
     os.makedirs(model_dir, exist_ok=True)
     save_yaml(cfg, os.path.join(model_dir, "config.yaml"))
+    backup_source(model_dir)
     return model_dir
 
 
