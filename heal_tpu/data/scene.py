@@ -46,6 +46,10 @@ class IntermediateAssembler:
         self.max_points = params["preprocess"]["args"].get(
             "max_points", 30000
         )
+        self.voxel_size = params["preprocess"]["args"].get(
+            "voxel_size", [0.4, 0.4, 4]
+        )
+        self.presort = params["preprocess"]["args"].get("presort", True)
         self.supervise_single = params.get("model", {}).get("args", {}).get(
             "supervise_single", False
         )
@@ -142,7 +146,7 @@ class IntermediateAssembler:
             if self.train and len(p) > self.max_points:
                 sel = np.random.choice(len(p), self.max_points, replace=False)
                 p = p[sel]
-            pts[slot, :n] = p[:n]
+            pts[slot, :n] = self._presort(p[:n])
             pmask[slot, :n] = True
 
         # fused labels in (clean) ego frame
@@ -416,6 +420,30 @@ class IntermediateAssembler:
             & (points[:, 2] <= r[5])
         )
         return points[m]
+
+    def _presort(self, points: np.ndarray) -> np.ndarray:
+        """Order an agent's points by BEV pillar id on the host.
+
+        Point order is semantically free (the pillar encoder reduces by
+        permutation-invariant mean/max), but XLA's TPU scatter is ~70x
+        faster on sorted segment ids — host-ordering here lets the
+        encoder skip its device argsort entirely (encoders.py
+        ``presorted``). Out-of-range points sort last, matching the
+        drop-bucket id the device assigns them. The reference does even
+        more host work per point (full spconv voxelization in DataLoader
+        workers, sp_voxel_preprocessor.py:62).
+        """
+        if not self.presort or len(points) == 0:
+            return points
+        vx, vy = self.voxel_size[0], self.voxel_size[1]
+        r = self.cav_range
+        nx = int(round((r[3] - r[0]) / vx))
+        ny = int(round((r[4] - r[1]) / vy))
+        xi = np.floor((points[:, 0] - r[0]) / vx).astype(np.int64)
+        yi = np.floor((points[:, 1] - r[1]) / vy).astype(np.int64)
+        ok = (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
+        ids = np.where(ok, yi * nx + xi, nx * ny)
+        return points[np.argsort(ids, kind="stable")]
 
     def _gt_in_frame(self, objects_world, pose, limit_range):
         """World lwh boxes -> padded hwl boxes in the given agent frame."""

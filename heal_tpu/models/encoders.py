@@ -91,6 +91,10 @@ class PointPillarEncoder(nn.Module):
     use_absolute_xyz: bool = True
     with_distance: bool = False
     norm: str = "batch"
+    # points already host-ordered by pillar id per sample (the assembler's
+    # _presort contract, data/scene.py) -> skip the device argsort, which
+    # costs more than the entire conv stack at 150k points on a v5e
+    presorted: bool = False
 
     @property
     def grid_nx(self):
@@ -125,10 +129,13 @@ class PointPillarEncoder(nn.Module):
         # sort points by pillar id: XLA's TPU scatter is ~70x faster with
         # sorted indices (measured 27ms -> 0.4ms per segment op on v5e),
         # and the per-sample offsets keep the batch grouping intact.
-        order = jnp.argsort(flat_ids)
-        flat_ids = flat_ids[order]
-        flat_valid = flat_valid[order]
-        flat_points = jnp.take(flat_points, order, axis=0)
+        # presorted: per-sample host ordering + increasing per-sample
+        # offsets => the flat concatenation is already globally sorted.
+        if not self.presorted:
+            order = jnp.argsort(flat_ids)
+            flat_ids = flat_ids[order]
+            flat_valid = flat_valid[order]
+            flat_points = jnp.take(flat_points, order, axis=0)
 
         if (
             len(self.num_filters) == 1

@@ -67,6 +67,7 @@ class PyramidFusion(nn.Module):
             upsample_strides=tuple(a.get("upsample_strides", ())),
             num_upsample_filter=tuple(a.get("num_upsample_filter", ())),
             resnext=a.get("resnext", False),
+            width_per_group=a.get("width_per_group", 4),
             norm=self.norm,
         )
         self.align_corners = a.get("align_corners", False)

@@ -105,6 +105,7 @@ class ModalityBranch(nn.Module):
                         "with_distance", False
                     ),
                     norm=self.norm,
+                    presorted=enc_args.get("presorted", False),
                 )
             elif c["core_method"] == "second":
                 from .second import SecondEncoder

@@ -179,15 +179,19 @@ class ResNetStage(nn.Module):
     groups: int = 1
     norm: str = "batch"
     bottleneck_x: bool = False
+    width_per_group: int = 4
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(self.blocks):
             stride = self.stride if i == 0 else 1
             if self.bottleneck_x:
-                x = BottleneckX(self.planes, stride=stride, norm=self.norm)(
-                    x, train
-                )
+                x = BottleneckX(
+                    self.planes,
+                    stride=stride,
+                    width_per_group=self.width_per_group,
+                    norm=self.norm,
+                )(x, train)
             else:
                 x = BasicBlock(
                     self.planes, stride=stride, groups=self.groups, norm=self.norm

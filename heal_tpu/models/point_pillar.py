@@ -62,6 +62,7 @@ class PointPillar(nn.Module):
             use_absolute_xyz=a["pillar_vfe"].get("use_absolute_xyz", True),
             with_distance=a["pillar_vfe"].get("with_distance", False),
             norm=norm,
+            presorted=a.get("presorted", False),
         )
         backbone = _backbone_from_args(a, norm)
         shrink = _shrink_from_args(a, norm)
@@ -147,6 +148,7 @@ class PointPillarBaseline(nn.Module):
             use_absolute_xyz=a["pillar_vfe"].get("use_absolute_xyz", True),
             with_distance=a["pillar_vfe"].get("with_distance", False),
             norm=norm,
+            presorted=a.get("presorted", False),
         )
         backbone = _backbone_from_args(a, norm)
         shrink = _shrink_from_args(a, norm)

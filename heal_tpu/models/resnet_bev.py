@@ -24,6 +24,11 @@ class ResNetBEVBackbone(nn.Module):
     num_upsample_filter: Sequence[int] = ()
     resnext: bool = False
     norm: str = "batch"
+    # dense-3x3 width multiplier of BottleneckX: width = planes * wpg / 2.
+    # wpg=4 doubles the width (the reference ResNeXt formula); wpg=2 keeps
+    # width = planes, which still exceeds the grouped conv's per-output
+    # capacity (dense 256x256 products vs grouped 512x16) at 1/4 the FLOPs
+    width_per_group: int = 4
 
     @property
     def num_levels(self):
@@ -37,6 +42,7 @@ class ResNetBEVBackbone(nn.Module):
                 stride=self.layer_strides[i],
                 norm=self.norm,
                 bottleneck_x=self.resnext,
+                width_per_group=self.width_per_group,
             )
             for i in range(self.num_levels)
         ]

@@ -95,3 +95,33 @@ class TestSkipEgo:
         skip = warp_agents_to_ego(feats, aff, skip_ego=True, method="exact")
         full = warp_agents_to_ego(feats, aff, skip_ego=False, method="exact")
         assert np.abs(np.asarray(skip) - np.asarray(full)).max() > 0.1
+
+
+class TestShiftRowsMatmul:
+    def test_matches_dynamic_slice_fallback(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.ops.warp import _shift_rows, _shift_rows_matmul
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (12, 16, 3)).astype(np.float32))
+        shifts = jnp.asarray(
+            rng.uniform(-5, 5, (12,)).astype(np.float32)
+        )
+        want = np.asarray(_shift_rows(x, shifts, max_shift=8))
+        got = np.asarray(_shift_rows_matmul(x, shifts))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_integer_shift_is_exact_roll_with_zero_fill(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.ops.warp import _shift_rows_matmul
+
+        x = jnp.asarray(np.arange(24, dtype=np.float32).reshape(2, 12, 1))
+        out = np.asarray(_shift_rows_matmul(x, jnp.asarray([2.0, -3.0])))
+        np.testing.assert_allclose(out[0, :10, 0], np.arange(2, 12))
+        np.testing.assert_allclose(out[0, 10:, 0], 0.0)
+        np.testing.assert_allclose(out[1, 3:, 0], np.arange(12, 21))
+        np.testing.assert_allclose(out[1, :3, 0], 0.0)
