@@ -242,6 +242,13 @@ def pp_model(fusion_method=None):
             args["cobevt"] = {
                 "input_dim": 256, "window_size": 8, "depth": 2,
             }
+        if fusion_method == "when2com":
+            args["when2com"] = {
+                "in_channels": 256, "query_size": 32, "key_size": 256,
+                "mode": "activated", "threshold": 0.2,
+            }
+        if fusion_method == "transformer":
+            args["transformer"] = {"in_channels": 256, "n_head": 8}
         return {"core_method": "point_pillar_baseline", "args": args}
     return {"core_method": "point_pillar", "args": args}
 
@@ -316,7 +323,7 @@ def main(out_dir: str):
     # ---- opv2v homogeneous PointPillars family
     for method in (
         "max", "att", "disconet", "v2vnet", "v2xvit", "cobevt",
-        "where2comm", "who2com",
+        "where2comm", "who2com", "when2com", "transformer",
     ):
         cfg = base_cfg(
             f"opv2v_point_pillar_{method}", "opv2v", "intermediate"

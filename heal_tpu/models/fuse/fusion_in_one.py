@@ -164,41 +164,42 @@ class V2VNetFusion(nn.Module):
         )
         mlp = nn.Dense(c, name="mlp")
 
-        # FOV mask of each sender as seen from each receiver i:
-        # warp an all-ones map of agent j by affine[i, j].
+        from ...ops.warp import warp_pairwise
+
+        # sender FOV mask in every receiver's frame: warp all-ones maps
         ones = jnp.ones((b, l, h, w, 1), features.dtype)
-        mvalid = agent_mask[:, :, None, None, None].astype(features.dtype)
+        roi = warp_pairwise(ones, affine)  # (B, I, J, h, w, 1)
+        # sender validity on the J axis
+        mvalid = agent_mask[:, None, :, None, None, None].astype(
+            features.dtype
+        )
 
         node = features
         for _ in range(num_iter):
-            updated = []
-            for i in range(l):
-                aff_i = jnp.roll(affine, -i, axis=1)  # row i first
-                # slot 0 of the rolled affine is identity only for i == 0
-                warped = warp_agents_to_ego(
-                    node, aff_i, skip_ego=(i == 0)
-                )  # into frame i
-                roi = warp_agents_to_ego(ones, aff_i, skip_ego=(i == 0))
-                ego_i = jnp.broadcast_to(node[:, i : i + 1], warped.shape)
-                msg = msg_cnn(
-                    jnp.concatenate([warped, ego_i], axis=-1).reshape(
-                        b * l, h, w, 2 * c
-                    )
-                ).reshape(b, l, h, w, c)
-                msg = msg * roi * mvalid
-                if agg == "avg":
-                    denom = jnp.maximum(
-                        agent_mask.sum(1).astype(msg.dtype), 1.0
-                    )[:, None, None, None]
-                    agg_f = msg.sum(axis=1) / denom
-                else:
-                    agg_f = jnp.where(mvalid > 0, msg, NEG_INF).max(axis=1)
-                if gru_flag:
-                    new_i = gru(agg_f, node[:, i])
-                else:
-                    new_i = node[:, i] + agg_f
-                updated.append(new_i)
-            node = jnp.stack(updated, axis=1)
+            # all-pairs messages in one traced warp (no per-receiver loop)
+            warped = warp_pairwise(node, affine)  # (B, I, J, h, w, C)
+            ego_i = jnp.broadcast_to(node[:, :, None], warped.shape)
+            msg = msg_cnn(
+                jnp.concatenate([warped, ego_i], axis=-1).reshape(
+                    b * l * l, h, w, 2 * c
+                )
+            ).reshape(b, l, l, h, w, c)
+            msg = msg * roi * mvalid
+            if agg == "avg":
+                denom = jnp.maximum(
+                    agent_mask.sum(1).astype(msg.dtype), 1.0
+                )[:, None, None, None, None]
+                agg_f = msg.sum(axis=2) / denom  # (B, I, h, w, C)
+            else:
+                agg_f = jnp.where(mvalid > 0, msg, NEG_INF).max(axis=2)
+            if gru_flag:
+                new_node = gru(
+                    agg_f.reshape(b * l, h, w, c),
+                    node.reshape(b * l, h, w, c),
+                )
+            else:
+                new_node = (node + agg_f).reshape(b * l, h, w, c)
+            node = new_node.reshape(b, l, h, w, c)
         out = node[:, 0]
         return mlp(out)
 

@@ -209,6 +209,29 @@ def affine_warp_shear(src: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def warp_pairwise(
+    features: jnp.ndarray, affine: jnp.ndarray, method: str = "auto"
+):
+    """All-pairs warp: sender j's map into every receiver i's frame.
+
+    features: (B, L, H, W, C); affine: (B, I, J, 2, 3) where
+    affine[b, i, j] maps receiver i's pixel coords into sender j's frame
+    (the normalized pairwise matrix layout). Returns (B, I, J, H, W, C).
+
+    Replaces a python loop over receivers (V2VNet-style message passing)
+    with nested vmaps — one traced warp instead of L unrolled ones. The
+    diagonal (i == j) is an identity warp, which the banded-matmul shear
+    reproduces exactly (the band degenerates to the identity matrix).
+    """
+    if method == "auto":
+        method = "shear" if jax.default_backend() == "tpu" else "exact"
+    per = affine_warp_shear if method == "shear" else affine_warp
+    over_j = jax.vmap(per)  # senders: feats (J, H, W, C), m (J, 2, 3)
+    over_ij = jax.vmap(lambda m_i, feats: over_j(feats, m_i),
+                       in_axes=(0, None))
+    return jax.vmap(over_ij)(affine, features)
+
+
 def warp_agents_to_ego(
     features: jnp.ndarray,
     affine: jnp.ndarray,
