@@ -56,14 +56,19 @@ def main():
     ds = build_dataset(cfg, train=False)
     model = build_model(cfg["model"])
 
-    # bf16 inference (weights + activations); decode/NMS stay f32
+    # bf16 inference (weights + activations); decode/NMS stay f32.
+    # Raw point coordinates stay f32 too: the encoder's presorted fast
+    # path requires device pillar binning to agree with the host's f32
+    # presort, and bf16 ULP at |x|~51 m (0.25 m) crosses 0.4 m bin edges.
     def cast16(t):
-        return jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            t,
-        )
+        def leaf(path, x):
+            if any(getattr(p, "key", None) == "points" for p in path):
+                return x
+            if hasattr(x, "dtype") and x.dtype == jnp.float32:
+                return x.astype(jnp.bfloat16)
+            return x
+
+        return jax.tree_util.tree_map_with_path(leaf, t)
 
     # N distinct frames stacked on a leading axis; the scan consumes one
     # per step (distinct inputs -> XLA cannot collapse iterations)
@@ -137,6 +142,9 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / A100_REFERENCE_FPS, 3),
+                # per-dispatch wall clock incl. host launch overhead (the
+                # reference profiler's "naive" protocol) for comparison
+                "naive_per_dispatch_fps": round(naive_fps, 2),
             }
         )
     )

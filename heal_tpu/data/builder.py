@@ -95,6 +95,13 @@ class FusionDataset:
             if os.path.exists(ba["precalc_path"]):
                 with open(ba["precalc_path"]) as f:
                     self._precalc = json.load(f)
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"box_align.precalc_path {ba['precalc_path']!r} does "
+                    "not exist — pose refinement is DISABLED for this run"
+                )
 
     def __len__(self):
         return len(self.backend)
@@ -104,17 +111,16 @@ class FusionDataset:
         if self._precalc is not None:
             entry = self._precalc.get(str(idx))
             if entry:
+                # entries are scene-ordered and unfiltered (the
+                # pose_graph_pre_calc contract), so zip is positional-safe
+                from ..utils.box_align import uncertainty_to_weights
+
                 for agent, e in zip(scene["agents"], entry):
                     agent["pred_centers"] = np.asarray(e["centers"])
                     if "uncertainty" in e:
-                        # log-var x/y -> inverse-variance landmark weight
-                        u = np.asarray(e["uncertainty"])
-                        if u.size:
-                            agent["pred_uncertainty"] = np.exp(
-                                -u[:, :2].mean(axis=1)
-                            )
-                        else:
-                            agent["pred_uncertainty"] = np.ones(0)
+                        agent["pred_uncertainty"] = uncertainty_to_weights(
+                            e["uncertainty"]
+                        )
         return self.assembler.assemble(scene)
 
     @property

@@ -136,6 +136,13 @@ class PointPillarEncoder(nn.Module):
             flat_ids = flat_ids[order]
             flat_valid = flat_valid[order]
             flat_points = jnp.take(flat_points, order, axis=0)
+        else:
+            # safety net for host/device rounding disagreement at bin
+            # edges: a running max guarantees the monotone-ids contract
+            # of indices_are_sorted (a violation silently corrupts the
+            # whole scatter); a rare straggler point merges into the
+            # previous pillar instead — bounded, local error
+            flat_ids = jax.lax.associative_scan(jnp.maximum, flat_ids)
 
         if (
             len(self.num_filters) == 1

@@ -308,9 +308,11 @@ class FPVRCNN(nn.Module):
             )
         )(flat_p, flat_m, feat)
 
-        # project proposals + keypoints into the ego frame
+        # project proposals + keypoints into the ego frame:
+        # pairwise[i, j] maps frame i -> frame j (transform_np
+        # get_pairwise_transformation), so agent j -> ego is [:, j, 0]
         if "pairwise_t_matrix" in batch and not single_agent:
-            t_to_ego = batch["pairwise_t_matrix"][:, 0].reshape(
+            t_to_ego = batch["pairwise_t_matrix"][:, :, 0].reshape(
                 b * l, 4, 4
             )
         else:

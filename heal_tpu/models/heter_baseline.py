@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 
 from .heads import DetectionHeads
-from .heter_pyramid import ModalityBranch, center_crop_or_pad, modality_list
+from .heter_pyramid import (ModalityBranch, center_crop_or_pad,
+                            lidar_first, modality_list)
 from .point_pillar import _shrink_from_args
 from .registry import register_model
 
@@ -59,7 +60,7 @@ class HeterModelBaseline(nn.Module):
 
         feat_all = None
         out_aux = {}
-        for m in self.modalities:
+        for m in lidar_first(self.modalities, self.args):
             if f"inputs_{m}" not in batch:
                 continue
             inputs = batch[f"inputs_{m}"]
@@ -195,7 +196,7 @@ class HeterModelBaselineMS(nn.Module):
 
         feat_all = None
         out_aux = {}
-        for m in self.modalities:
+        for m in lidar_first(self.modalities, self.args):
             if f"inputs_{m}" not in batch:
                 continue
             inputs = batch[f"inputs_{m}"]
@@ -249,13 +250,21 @@ class HeterModelBaselineMS(nn.Module):
 @register_model("heter_model_late")
 class HeterModelLate(nn.Module):
     """Late-fusion heterogeneous model: one agent per sample, modality
-    chosen by which inputs_mX block is present (ref heter_model_late.py)."""
+    chosen by which inputs_mX block is present (ref heter_model_late.py).
+
+    Norm default is GROUP norm, not batch: every sample runs through ALL
+    modality branches (static shapes — inactive modalities get zero
+    inputs, masked out afterwards via modality_flags), so train-mode
+    BatchNorm would fold those zero canvases into the batch statistics
+    of every branch. Group norm is per-sample and immune. Set
+    ``norm: batch`` only for homogeneous batches.
+    """
 
     args: Any
 
     def setup(self):
         a = self.args
-        norm = a.get("norm", "batch")
+        norm = a.get("norm", "group")
         self.modalities = modality_list(a)
         self.branches = {
             m: ModalityBranch(
@@ -277,7 +286,8 @@ class HeterModelLate(nn.Module):
         aux_all = {}
         target_hw = None
         flags = batch.get("modality_flags")  # (B, M), heter-late batches
-        for k, m in enumerate(self.modalities):
+        for m in lidar_first(self.modalities, self.args):
+            k = self.modalities.index(m)  # modality_flags column order
             if f"inputs_{m}" not in batch:
                 continue
             feat, aux = self.branches[m](batch[f"inputs_{m}"], train)

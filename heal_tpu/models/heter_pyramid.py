@@ -43,6 +43,17 @@ def modality_list(args: dict):
     return [m for m in MODALITY_KEYS if m in args]
 
 
+def lidar_first(modalities, args: dict):
+    """Order lidar modalities before camera ones: the lidar grid defines
+    the BEV canvas size that camera features are center-cropped to, so a
+    camera modality processed first would silently set the wrong canvas
+    (or skip its crop entirely)."""
+    return sorted(
+        modalities,
+        key=lambda m: args[m].get("sensor_type", "lidar") == "camera",
+    )
+
+
 def center_crop_or_pad(feat: jnp.ndarray, th: int, tw: int) -> jnp.ndarray:
     """Center crop/zero-pad (N, H, W, C) to (N, th, tw, C).
 

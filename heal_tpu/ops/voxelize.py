@@ -40,8 +40,14 @@ def pillar_ids(
     """
     x0, y0, z0, x1, y1, z1 = lidar_range
     vx, vy = voxel_size[0], voxel_size[1]
-    xi = jnp.floor((points[:, 0] - x0) / vx).astype(jnp.int32)
-    yi = jnp.floor((points[:, 1] - y0) / vy).astype(jnp.int32)
+    # f32 binning regardless of the feature dtype: the host presort
+    # (data/scene.py _presort) bins in f32 numpy, and bf16 coords round
+    # across 0.4 m bin edges (ULP at |x|~51 m is 0.25 m) — the two
+    # orderings must agree for the encoder's presorted fast path
+    px = points[:, 0].astype(jnp.float32)
+    py = points[:, 1].astype(jnp.float32)
+    xi = jnp.floor((px - x0) / vx).astype(jnp.int32)
+    yi = jnp.floor((py - y0) / vy).astype(jnp.int32)
     in_range = (
         (xi >= 0)
         & (xi < grid_nx)

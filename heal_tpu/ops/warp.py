@@ -94,10 +94,18 @@ def _shift_rows(
 
     x: (H, W, C); shifts: (H,) float — out[i, j] = in[i, j + shifts[i]].
     On TPU this is the banded-matmul form (MXU-friendly; see
-    _shift_rows_matmul); elsewhere a vmapped dynamic-slice fallback with
-    identical semantics.
+    _shift_rows_matmul); set HEAL_TPU_SHEAR_BACKEND=pallas for the
+    dynamic-slice Pallas kernel (ops/pallas_shear.py — dispatch-bound at
+    one grid row per step, kept for comparison). Elsewhere a vmapped
+    dynamic-slice fallback with identical semantics.
     """
     if jax.default_backend() == "tpu":
+        import os
+
+        if os.environ.get("HEAL_TPU_SHEAR_BACKEND") == "pallas":
+            from .pallas_shear import shift_rows_pallas
+
+            return shift_rows_pallas(x, shifts, max_shift=max_shift)
         return _shift_rows_matmul(x, shifts)
 
     h, w, c = x.shape

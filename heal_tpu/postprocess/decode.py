@@ -125,6 +125,52 @@ def post_process_single(
     return out
 
 
+def decode_stage2(
+    rois: jnp.ndarray,
+    valid: jnp.ndarray,
+    rcnn_cls: jnp.ndarray,
+    rcnn_reg: jnp.ndarray,
+    gt_range: jnp.ndarray,
+    score_threshold: float = 0.2,
+    nms_threshold: float = 0.15,
+):
+    """Decode FPV-RCNN second-stage refinements into final detections.
+
+    rois (R, 7) hwl ego-frame fused proposals; rcnn_cls (R,) quality
+    logits; rcnn_reg (R, 7) roi-frame residuals in the convention of
+    losses/fpvrcnn_loss.py (xyz / [diag, diag, h], log-dim ratio, yaw
+    delta — ref sub_modules/roi_head.assign_targets + matcher decode).
+    Returns the same padded det dict as post_process_single.
+    """
+    scores = jax.nn.sigmoid(rcnn_cls) * valid.astype(rcnn_cls.dtype)
+    diag = jnp.sqrt(rois[:, 4] ** 2 + rois[:, 5] ** 2)
+    scale = jnp.stack([diag, diag, rois[:, 3]], axis=-1)
+    xyz = rois[:, :3] + rcnn_reg[:, :3] * jnp.maximum(scale, 1e-3)
+    dims = rois[:, 3:6] * jnp.exp(jnp.clip(rcnn_reg[:, 3:6], -4.0, 4.0))
+    yaw = rois[:, 6:7] + rcnn_reg[:, 6:7]
+    boxes = jnp.concatenate([xyz, dims, yaw], axis=-1)  # (R, 7) hwl
+
+    corners = geometry.boxes_to_corners_3d(boxes, "hwl")
+    inside = (
+        (corners >= gt_range[0:3]) & (corners <= gt_range[3:6])
+    ).all(-1).all(-1)
+    ok = valid & inside & (scores > score_threshold)
+
+    order = jnp.argsort(-jnp.where(ok, scores, 0.0))
+    corners = corners[order]
+    scores_s = jnp.where(ok, scores, 0.0)[order]
+    boxes_s = boxes[order]
+    keep = nms_rotated_fixed(
+        corners[:, :4, :2], scores_s, scores_s > 0.0, nms_threshold
+    )
+    return {
+        "corners": corners,
+        "scores": jnp.where(keep, scores_s, 0.0),
+        "boxes": boxes_s,
+        "valid": keep,
+    }
+
+
 def fuse_and_nms(
     corners_list,
     scores_list,

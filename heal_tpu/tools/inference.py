@@ -20,6 +20,7 @@ from ..config import load_yaml
 from ..data import build_dataset
 from ..models import build_model
 from ..postprocess.decode import (
+    decode_stage2,
     fuse_and_nms,
     post_process_single,
     strip_padding,
@@ -100,6 +101,14 @@ def run_inference(
         )
     )
     merge = jax.jit(partial(fuse_and_nms, nms_threshold=post["nms_thresh"]))
+    decode_two = jax.jit(
+        partial(
+            decode_stage2,
+            gt_range=gt_range,
+            score_threshold=post["target_args"]["score_threshold"],
+            nms_threshold=post["nms_thresh"],
+        )
+    )
     late = cfg["fusion"]["core_method"] in ("late", "lateheter")
 
     def _decode_batch(out, t_matrix):
@@ -141,7 +150,17 @@ def run_inference(
             out = infer(jbatch)
             if "comm_rate" in out:  # where2comm bandwidth metric
                 comm_rates.append(float(out["comm_rate"]))
-            det = _decode_batch(out, batch["transformation_matrix"][0])
+            if "rcnn_cls" in out:
+                # two-stage (FPV-RCNN): evaluate the REFINED collaborative
+                # detections, not the per-agent stage-1 heads
+                det = decode_two(
+                    out["boxes_fused"][0],
+                    out["valid_fused"][0],
+                    out["rcnn_cls"][0],
+                    out["rcnn_reg"][0],
+                )
+            else:
+                det = _decode_batch(out, batch["transformation_matrix"][0])
         dense = strip_padding(jax.device_get(det))
         gt_mask = batch["gt_mask"][0] > 0
         gt_corners = box_np.boxes_to_corners_3d(

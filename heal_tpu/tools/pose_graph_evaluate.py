@@ -76,8 +76,10 @@ def evaluate(
             uncert = None
             if all("uncertainty" in e and len(e["uncertainty"])
                    for e in entry[: len(clean)]):
+                from ..utils.box_align import uncertainty_to_weights
+
                 uncert = [
-                    np.exp(-np.asarray(e["uncertainty"])[:, :2].mean(1))
+                    uncertainty_to_weights(e["uncertainty"])
                     for e in entry[: len(clean)]
                 ]
             refined = box_alignment_relative(

@@ -54,17 +54,39 @@ def main(argv=None):
         }
     )
 
+    # one entry per scene agent, unfiltered and in scene order: the
+    # box_align consumer (data/builder.py __getitem__) zips entries
+    # against scene["agents"], so comm-range filtering or max_cav capping
+    # here would silently shift detections onto the wrong agents
+    pre = cfg["preprocess"]
+    rng = pre["cav_lidar_range"]
+    max_pts = pre["args"].get("max_points", 30000)
+
+    def agent_frame(agent):
+        p = np.asarray(agent["points"], np.float32)
+        m = (
+            (p[:, 0] >= rng[0]) & (p[:, 0] <= rng[3])
+            & (p[:, 1] >= rng[1]) & (p[:, 1] <= rng[4])
+            & (p[:, 2] >= rng[2]) & (p[:, 2] <= rng[5])
+        )
+        p = p[m][:max_pts]
+        pts = np.zeros((max_pts, 4), np.float32)
+        msk = np.zeros(max_pts, bool)
+        pts[: len(p)] = p[:, :4]
+        msk[: len(p)] = True
+        return pts, msk
+
     results = {}
-    for idx in range(len(dataset)):
+    for idx in range(len(dataset.backend)):
         if args.max_frames and idx >= args.max_frames:
             break
-        sample = dataset[idx]
-        frames = [sample] + sample.get("agent_samples", [])
+        scene = dataset.backend.scene(idx)
         per_agent = []
-        for fr in frames:
+        for agent in scene["agents"]:
+            pts, msk = agent_frame(agent)
             jb = {
-                "points": jnp.asarray(fr["points"])[None],
-                "point_mask": jnp.asarray(fr["point_mask"])[None],
+                "points": jnp.asarray(pts)[None],
+                "point_mask": jnp.asarray(msk)[None],
             }
             out = infer(jb)
             det = post_process_single(

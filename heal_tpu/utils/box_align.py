@@ -18,6 +18,21 @@ import numpy as np
 from .common import limit_period
 
 
+def uncertainty_to_weights(u) -> np.ndarray:
+    """Per-box aleatoric uncertainty -> landmark weight for box-align.
+
+    u: (K, >=2) decode export — log-variance x/y (+ log-kappa yaw); the
+    weight is the inverse variance exp(-mean(log var)) (ref
+    uncertainty_voxel_postprocessor feeds box_align_v2 the same way).
+    Single definition shared by the data hook (data/builder.py) and
+    tools/pose_graph_evaluate so the two can't diverge.
+    """
+    u = np.asarray(u, np.float64)
+    if u.size == 0:
+        return np.ones(0)
+    return np.exp(-u[:, :2].mean(axis=1))
+
+
 def _se2_apply(pose, pts):
     """pose (3,) [x, y, yaw]; pts (N, 2) -> world (N, 2)."""
     c, s = np.cos(pose[2]), np.sin(pose[2])

@@ -72,7 +72,7 @@ def cpm_size_bytes(
         (features - lo) / span * (2**feat_bits - 1), 0, 2**feat_bits - 1
     ).astype(np.uint8 if feat_bits <= 8 else np.uint16)
     quantized = (
-        coords.shape[0] * coords.shape[1] * (coord_bits + 7) // 8
+        coords.shape[0] * coords.shape[1] * ((coord_bits + 7) // 8)
         + n * f * ((feat_bits + 7) // 8)
         + f * 8  # per-channel (lo, scale) side info
     )

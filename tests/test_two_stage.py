@@ -225,3 +225,71 @@ class TestFPVRCNN:
         assert "rcnn_cls_loss" in aux and "rcnn_reg_loss" in aux
         out = trainer.infer_step(state, batch)
         assert "boxes_fused" in out and "rcnn_cls" in out
+
+
+class TestPairwiseConvention:
+    def test_agent_to_ego_is_column_zero(self):
+        """pairwise[i, j] maps frame i -> frame j, so agent j -> ego is
+        pairwise[j, 0] (batch index [:, j, 0]) — guards the FPV-RCNN
+        proposal projection (models/fpvrcnn.py)."""
+        import numpy as np
+
+        from heal_tpu.utils import transform_np
+
+        poses = [[0, 0, 0, 0, 0, 0], [10, 5, 0, 0, 30, 0]]
+        pw = transform_np.get_pairwise_transformation(poses, 2)
+        origin_of_agent_in_ego = pw[1, 0] @ np.array([0, 0, 0, 1.0])
+        np.testing.assert_allclose(
+            origin_of_agent_in_ego[:2], [10, 5], atol=1e-6
+        )
+        # the row-0 matrix is the INVERSE map (ego -> agent), used only
+        # for backward warping
+        back = pw[0, 1] @ origin_of_agent_in_ego
+        np.testing.assert_allclose(back[:3], [0, 0, 0], atol=1e-6)
+
+
+class TestStage2Decode:
+    def test_roundtrip_with_loss_target_convention(self):
+        """decode_stage2(roi, encode(roi, gt)) == gt — the decode must be
+        the exact inverse of the residual targets fpvrcnn_loss builds."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.postprocess.decode import decode_stage2
+
+        rng = np.random.default_rng(0)
+        r = 12
+        rois = np.column_stack([
+            rng.uniform(-30, 30, (r, 2)),          # x y
+            rng.uniform(-1.5, -0.5, (r, 1)),       # z
+            rng.uniform(1.3, 1.8, (r, 1)),         # h
+            rng.uniform(1.4, 1.9, (r, 1)),         # w
+            rng.uniform(3.5, 4.5, (r, 1)),         # l
+            rng.uniform(-1, 1, (r, 1)),            # yaw
+        ]).astype(np.float32)
+        gt = rois + rng.uniform(-0.2, 0.2, rois.shape).astype(np.float32)
+
+        # encode per losses/fpvrcnn_loss.py
+        diag = np.sqrt(rois[:, 4] ** 2 + rois[:, 5] ** 2)
+        scale = np.stack([diag, diag, rois[:, 3]], axis=-1)
+        t_xyz = (gt[:, :3] - rois[:, :3]) / scale
+        t_dim = np.log(gt[:, 3:6] / rois[:, 3:6])
+        t_yaw = gt[:, 6:7] - rois[:, 6:7]
+        reg = np.concatenate([t_xyz, t_dim, t_yaw], axis=-1)
+
+        det = decode_stage2(
+            jnp.asarray(rois),
+            jnp.ones(r, bool),
+            jnp.full((r,), 4.0),  # high logit -> score ~0.98
+            jnp.asarray(reg),
+            jnp.asarray([-100, -100, -5, 100, 100, 3], jnp.float32),
+            score_threshold=0.3,
+            nms_threshold=0.15,
+        )
+        boxes = np.asarray(det["boxes"])
+        valid = np.asarray(det["valid"])
+        # every distinct roi decodes back to its gt (order may differ)
+        got = boxes[valid]
+        assert got.shape[0] >= 1
+        for g in got:
+            assert np.min(np.abs(gt - g).sum(1)) < 1e-3
