@@ -147,19 +147,59 @@ def main(argv=None):
     trainer.compile()
     from .logging import MetricLogger
 
+    # Device-resident epoch cache (train_params.cache_device_batches):
+    # assemble + transfer every batch ONCE, keep it in HBM, and reshuffle
+    # at batch granularity per epoch. This removes the host data pipeline
+    # from the steady-state loop entirely — the TPU-first answer to the
+    # reference's multi-worker DataLoader (this box has 1 CPU core, and
+    # the per-step host->device transfer also leaks host memory in the
+    # axon TPU client, ~14 MB/step). Trade-offs, so opt-in only: shuffle
+    # is between batches rather than between samples, and per-epoch
+    # backend reinitialization (modality re-assignment) is skipped — use
+    # for fixed-assignment runs (synthetic demos, single-modality).
+    cached_train = cached_val = None
+    if cfg["train_params"].get("cache_device_batches"):
+        cached_train = [
+            trainer.shard_batch(to_device(b))
+            for b in train_ds.batches(batch_size, shuffle=False)
+        ]
+        cached_val = [
+            to_device(b)
+            for b in val_ds.batches(batch_size, shuffle=False)
+        ]
+        nbytes = sum(
+            x.nbytes
+            for b in cached_train
+            for x in jax.tree.leaves(b)
+            if hasattr(x, "nbytes")
+        )
+        print(
+            f"[train] cached {len(cached_train)} train batches on device "
+            f"({nbytes / 1e9:.2f} GB)"
+        )
+
     logger = MetricLogger(model_dir)
     best_val = float("inf")
     for epoch in range(start_epoch, epochs):
         # per-epoch re-randomization (agent order / modality assignment),
         # reference train.py:175-177
-        if hasattr(train_ds.backend, "reinitialize"):
-            train_ds.backend.reinitialize(seed=epoch)
+        if cached_train is not None:
+            order = np.random.default_rng(epoch).permutation(
+                len(cached_train)
+            )
+            epoch_batches = (cached_train[i] for i in order)
+        else:
+            if hasattr(train_ds.backend, "reinitialize"):
+                train_ds.backend.reinitialize(seed=epoch)
+            epoch_batches = (
+                trainer.shard_batch(to_device(b))
+                for b in train_ds.batches(batch_size, shuffle=True,
+                                          seed=epoch)
+            )
         t0 = time.time()
         losses = []
-        for batch in train_ds.batches(batch_size, shuffle=True, seed=epoch):
-            state, aux = trainer.train_step(
-                state, trainer.shard_batch(to_device(batch))
-            )
+        for batch in epoch_batches:
+            state, aux = trainer.train_step(state, batch)
             losses.append(
                 {k: float(v) for k, v in aux.items() if v.ndim == 0}
             )
@@ -186,11 +226,15 @@ def main(argv=None):
                 epoch + 1,
             )
         if (epoch + 1) % eval_freq == 0 or epoch == epochs - 1:
+            val_batches = (
+                cached_val
+                if cached_val is not None
+                else (to_device(b)
+                      for b in val_ds.batches(batch_size, shuffle=False))
+            )
             vlosses = [
-                float(
-                    trainer.eval_step(state, to_device(b))["total_loss"]
-                )
-                for b in val_ds.batches(batch_size, shuffle=False)
+                float(trainer.eval_step(state, b)["total_loss"])
+                for b in val_batches
             ]
             vloss = float(np.mean(vlosses)) if vlosses else float("inf")
             print(f"[epoch {epoch}] val loss {vloss:.4f}")

@@ -77,3 +77,32 @@ class TestHeterCollab:
             packed = set(batch["slots_m1"][bi][batch["slots_m1"][bi] < L])
             valid = set(np.where(batch["agent_mask"][bi])[0])
             assert packed == valid
+
+
+class TestDeviceBatchCache:
+    def test_cached_epochs_match_streaming_semantics(self, tmp_path):
+        """train_params.cache_device_batches trains to the same kind of
+        convergence as the streaming path and leaves a resumable run dir
+        (the cache only changes WHERE batches live, not the math)."""
+        from heal_tpu.config import load_yaml
+        from heal_tpu.config.loader import save_yaml
+        from heal_tpu.tools.checkpoint import find_checkpoint
+        from heal_tpu.tools.train import main as train_main
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        cfg["train_params"]["cache_device_batches"] = True
+        cfg_path = str(tmp_path / "cfg.yaml")
+        save_yaml(cfg, cfg_path)
+        run_dir = str(tmp_path / "run")
+        train_main(
+            ["-y", cfg_path, "--model_dir", run_dir, "--epochs", "2",
+             "--no_final_inference"]
+        )
+        # a bestval checkpoint exists (find_checkpoint prefers it, the
+        # reference's resume semantics) and the last epoch ckpt was saved
+        ep, path = find_checkpoint(run_dir)
+        assert path is not None
+        assert os.path.exists(os.path.join(run_dir, "net_epoch2.ckpt"))
+        with open(os.path.join(run_dir, "train_log.jsonl")) as f:
+            log = f.readlines()
+        assert len(log) >= 2  # one JSONL row per epoch ran
