@@ -200,16 +200,26 @@ class PointPillarEncoder(nn.Module):
             "batch_stats", "bn_var", lambda: jnp.ones(f, jnp.float32)
         )
 
-        w = fv.astype(fp.dtype)[:, None]
+        # Compute dtype for the per-point GEMM + segment ops follows the
+        # PARAMS' dtype (bf16-cast weights -> bf16 serving), never the
+        # points': points must stay f32 so pillar binning matches the
+        # host presort, but absolute coords never enter the point GEMM —
+        # only pillar-LOCAL offsets (<= half a voxel, bf16 ULP ~2e-3 m
+        # there) and intensity. The absolute-coordinate contribution is
+        # constant per pillar and rides the f32 table term below, so the
+        # features equal the f32 formulation up to small-value rounding.
+        kdt = jnp.asarray(kernel).dtype
+        cdt = kdt if kdt == jnp.bfloat16 else fp.dtype
+        w = fv.astype(cdt)[:, None]
 
         # jnp.asarray: checkpoint-loaded params arrive as numpy arrays,
         # which lack the .at updater used below
         k32 = jnp.asarray(kernel, jnp.float32)
         w_raw, w_mu, w_c = k32[:4], k32[4:7], k32[7:10]
         # decorated = [p, p_xyz - mean, p_xyz - center]: fold the xyz
-        # weights together for the per-point GEMM
+        # weights together; rows 0-2 apply to LOCAL xyz, the center part
+        # moves to the pillar table (raw = center + local)
         a_mat = w_raw.at[:3].add(w_mu + w_c)  # (4, F)
-        a_pt = (fp * w) @ a_mat.astype(fp.dtype)  # (N, F), invalid -> 0
 
         # pillar centers straight from the table index (no per-point work)
         vx, vy, vz = self.voxel_size
@@ -229,24 +239,31 @@ class PointPillarEncoder(nn.Module):
 
         center = centers_of(jnp.arange(s_total, dtype=jnp.int32) % cells)
 
+        local = ((fp[:, :3] - centers_of(fi % cells)).astype(cdt)) * w
+        pfeat = jnp.concatenate(
+            [local, fp[:, 3:4].astype(cdt) * w], axis=-1
+        )  # (N, 4) bf16-safe small values
+        a_pt = pfeat @ a_mat.astype(cdt)  # (N, F), invalid -> 0
+
         # mean term via a WIDE segment_sum: XLA's TPU scatter is ~4x
         # slower for narrow (<64-lane) operands, so instead of summing
         # (xyz, 1) per pillar we sum the already-projected per-point
-        # contribution local_xyz @ Wmu (F channels) + a count channel.
-        # Local (pillar-centered) coords keep bf16 precision:
+        # contribution local_xyz @ Wmu (F channels) + a count channel:
         #   mean @ Wmu = center @ Wmu + (seg_sum(local)/cnt) @ Wmu
-        local = (fp[:, :3] - centers_of(fi % cells)) * w
         g = jnp.concatenate(
-            [local @ w_mu.astype(fp.dtype), w], axis=-1
+            [local @ w_mu.astype(cdt), w], axis=-1
         )  # (N, F+1)
         seg = jax.ops.segment_sum(
             g, fi, num_segments=s_total, indices_are_sorted=True
         ).astype(jnp.float32)
         cnt = seg[:, f : f + 1]
+        # y_i = local_i @ a_mat + int_i @ w_int + t_p with
+        # t_p = center @ Wraw_xyz - (local mean @ Wmu)
+        # (= the old raw-coordinate t_tab shifted by center @ a_mat[:3])
         t_tab = (
             -seg[:, :f] / jnp.maximum(cnt, 1.0)
-            - center @ (w_mu + w_c)
-        )  # (S, F) f32 = -(mean @ Wmu) - (center @ Wc)
+            + center @ w_raw[:3]
+        )  # (S, F) f32
 
         if train:
             n_valid = jnp.maximum(w.astype(jnp.float32).sum(), 1.0)
