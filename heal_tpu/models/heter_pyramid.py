@@ -299,7 +299,9 @@ class HeterPyramidCollab(nn.Module):
                 hl, wl = h // int(s), w // int(s)
                 level = jnp.ones((b, l + 1, hl, wl, 1), feat_all.dtype)
                 for m, (rh, rw) in cam_mask_by_modality.items():
-                    mask = camera_fov_mask(hl, wl, rh, rw)
+                    mask = camera_fov_mask(hl, wl, rh, rw).astype(
+                        feat_all.dtype
+                    )
                     level = jax.vmap(
                         lambda lv, slots: lv.at[slots].set(mask)
                     )(level, batch[f"slots_{m}"])

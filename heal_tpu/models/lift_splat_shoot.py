@@ -106,7 +106,17 @@ class LiftSplatShootEncoder(nn.Module):
 
     def geometry(self, fh, fw, rots, trans, intrins, post_rots, post_trans):
         """Frustum -> agent-frame 3D points. rots/trans: cam->agent.
-        (N_cam, ...) -> (N_cam, D, fH, fW, 3)."""
+        (N_cam, ...) -> (N_cam, D, fH, fW, 3).
+
+        Calibration math always runs f32: the 3x3 inverses are
+        unimplemented for bf16 on TPU (LuDecomposition), and the output
+        feeds voxel binning where bf16 ULP would cross cell edges —
+        bf16-cast inputs (e.g. a bf16 serving pipeline) are upcast here.
+        """
+        rots, trans, intrins, post_rots, post_trans = (
+            jnp.asarray(a, jnp.float32)
+            for a in (rots, trans, intrins, post_rots, post_trans)
+        )
         pts = self.frustum(fh, fw)  # (D, fH, fW, 3)
         pts = pts[None] - post_trans[:, None, None, None, :]
         inv_post = jnp.linalg.inv(post_rots)  # (N, 3, 3)
