@@ -53,6 +53,21 @@ class FusionDataset:
         self.params = params
         self.train = train
         self.backend = _build_backend(params, train)
+        # a presorted=True encoder on unsorted points silently corrupts
+        # its sorted scatter (indices_are_sorted) — refuse the mismatch
+        margs = (params.get("model") or {}).get("args") or {}
+        wants_sorted = margs.get("presorted", False) or any(
+            isinstance(margs.get(m), dict)
+            and margs[m].get("presorted", False)
+            for m in ("m1", "m2", "m3", "m4")
+        )
+        if wants_sorted and not params["preprocess"]["args"].get(
+            "presort", True
+        ):
+            raise ValueError(
+                "model.args presorted=true requires "
+                "preprocess.args.presort=true (host point ordering)"
+            )
         method = params["fusion"]["core_method"]
         if method == "intermediate2stage":
             # two-stage models (FPV-RCNN) train their first stage on

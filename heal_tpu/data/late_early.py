@@ -70,7 +70,10 @@ class LateAssembler(IntermediateAssembler):
         n = min(len(pts), self.max_points)
         points = np.zeros((self.max_points, 4), dtype=np.float32)
         pmask = np.zeros(self.max_points, dtype=bool)
-        points[:n] = pts[:n]
+        # presort AFTER truncation (keeps the kept subset unbiased) —
+        # a presorted=True encoder silently corrupts its sorted scatter
+        # on unsorted points, so every packing site must do this
+        points[:n] = self._presort(pts[:n])
         pmask[:n] = True
 
         from ..postprocess import generate_targets
@@ -165,7 +168,7 @@ class EarlyAssembler(IntermediateAssembler):
         n = min(len(pts), self.max_points)
         points = np.zeros((self.max_points, 4), dtype=np.float32)
         pmask = np.zeros(self.max_points, dtype=bool)
-        points[:n] = pts[:n]
+        points[:n] = self._presort(pts[:n])  # sorted-scatter contract
         pmask[:n] = True
 
         from ..postprocess import generate_targets

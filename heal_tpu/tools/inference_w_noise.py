@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 
-from ..config import load_yaml
 from .inference import run_inference
 
 NOISE_LEVELS = (0.0, 0.2, 0.4, 0.6)
@@ -23,10 +22,15 @@ def run_noise_sweep(
     laplace: bool = False,
     levels=NOISE_LEVELS,
     max_batches=None,
+    box_align_precalc: str | None = None,
 ):
+    """AP per pose-noise level; with ``box_align_precalc`` (a
+    pose_graph_pre_calc dump) the sweep also runs CoAlign pose
+    refinement, demonstrating AP recovery under localization error
+    (ref tools/inference_w_noise.py + box_align_v2 consumption in
+    intermediate_heter_fusion_dataset.py:372-399)."""
     results = {}
     for std in levels:
-        cfg = load_yaml("", model_dir=model_dir)
         noise = {
             "add_noise": std > 0,
             "args": {
@@ -37,16 +41,25 @@ def run_noise_sweep(
                 "laplace": laplace,
             },
         }
+        tag = f"noise_{'laplace' if laplace else 'gauss'}_{std}"
+        override = None
+        if box_align_precalc:
+            override = {"box_align": {"precalc_path": box_align_precalc}}
+            tag += "_boxalign"
         res = run_inference(
             model_dir,
-            note=f"noise_{'laplace' if laplace else 'gauss'}_{std}",
+            note=tag,
             max_batches=max_batches,
             noise_setting=noise,
+            cfg_override=override,
         )
         results[std] = {k: v for k, v in res.items() if k.startswith("ap")}
-        print(f"[noise {std}] {results[std]}")
+        print(f"[noise {std}{' +align' if box_align_precalc else ''}] "
+              f"{results[std]}")
     out_path = os.path.join(
-        model_dir, f"ap_vs_noise_{'laplace' if laplace else 'gauss'}.json"
+        model_dir,
+        f"ap_vs_noise_{'laplace' if laplace else 'gauss'}"
+        f"{'_boxalign' if box_align_precalc else ''}.json",
     )
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
@@ -58,8 +71,13 @@ def main(argv=None):
     p.add_argument("--model_dir", required=True)
     p.add_argument("--laplace", action="store_true")
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--box_align", default=None, metavar="PRECALC_JSON",
+                   help="pose_graph_pre_calc dump; enables CoAlign pose "
+                        "refinement during the sweep")
     args = p.parse_args(argv)
-    run_noise_sweep(args.model_dir, args.laplace, max_batches=args.max_batches)
+    run_noise_sweep(args.model_dir, args.laplace,
+                    max_batches=args.max_batches,
+                    box_align_precalc=args.box_align)
 
 
 if __name__ == "__main__":

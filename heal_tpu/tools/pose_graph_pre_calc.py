@@ -72,7 +72,8 @@ def main(argv=None):
         p = p[m][:max_pts]
         pts = np.zeros((max_pts, 4), np.float32)
         msk = np.zeros(max_pts, bool)
-        pts[: len(p)] = p[:, :4]
+        # honor the sorted-scatter contract of presorted=True encoders
+        pts[: len(p)] = dataset.assembler._presort(p[:, :4])
         msk[: len(p)] = True
         return pts, msk
 

@@ -138,3 +138,30 @@ class TestLateHeter:
             np.asarray(out2["cls_preds"]),
             atol=1e-5,
         )
+
+
+class TestLatePresortContract:
+    def test_packed_points_are_pillar_sorted(self):
+        """Every packing site must emit pillar-sorted points when presort
+        is on: a presorted=True encoder treats ids as sorted and a
+        violation silently corrupts the whole scatter (this exact bug
+        produced AP 0.19 instead of ~0.9 on the single-agent demo)."""
+        import numpy as np
+
+        from heal_tpu.config import load_yaml
+        from heal_tpu.data import build_dataset
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_late.yaml"))
+        cfg["preprocess"]["args"]["presort"] = True
+        for method in ("late", "early"):
+            cfg["fusion"]["core_method"] = method
+            ds = build_dataset(cfg, train=True)
+            s = ds[0]
+            pts = s["points"][s["point_mask"]]
+            r = cfg["preprocess"]["cav_lidar_range"]
+            vx, vy = cfg["preprocess"]["args"]["voxel_size"][:2]
+            nx = int(round((r[3] - r[0]) / vx))
+            xi = np.floor((pts[:, 0] - r[0]) / vx).astype(np.int64)
+            yi = np.floor((pts[:, 1] - r[1]) / vy).astype(np.int64)
+            ids = yi * nx + xi
+            assert (np.diff(ids) >= 0).all(), f"{method}: unsorted points"
