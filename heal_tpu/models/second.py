@@ -23,27 +23,47 @@ from ..ops import sparse_conv as sc
 
 
 class SparseConvLayer(nn.Module):
-    """One sparse conv (subm or strided) + LayerNorm + ReLU."""
+    """One sparse conv (subm or strided) + LayerNorm + ReLU.
+
+    ``table`` carries the precomputed (O, 27) neighbor-gather indices —
+    built once per resolution level (sc.neighbor_table / sc.strided_table)
+    and shared by every conv at that level; the binary searches, not the
+    GEMMs, dominate sparse-conv runtime on TPU. Compute dtype follows the
+    params' dtype (bf16-cast weights -> bf16 conv) except when
+    ``precise_input`` keeps a raw-coordinate feature layer in f32.
+    """
 
     cout: int
     strided: bool = False
+    precise_input: bool = False
 
     @nn.compact
-    def __call__(self, sp, grid, out=None, out_grid=None, train: bool = False):
+    def __call__(self, sp, grid, out=None, out_grid=None, table=None,
+                 train: bool = False):
         cin = sp["feats"].shape[-1]
         w = self.param(
             "kernel", nn.initializers.he_normal(), (27, cin, self.cout)
         )
+        kdt = jnp.asarray(w).dtype
+        feats_in = sp["feats"]
+        if kdt == jnp.bfloat16 and not self.precise_input:
+            feats_in = feats_in.astype(kdt)
+        sp = dict(sp, feats=feats_in)
         if self.strided:
-            feats = sc.strided_conv(dict(sp, grid=grid), dict(out, grid=out_grid), w)
+            feats = sc.strided_conv(
+                dict(sp, grid=grid), dict(out, grid=out_grid), w,
+                table=table,
+            )
             new_sp = dict(out, feats=feats)
             valid = out["valid"]
         else:
-            feats = sc.subm_conv(dict(sp, grid=grid), w)
+            feats = sc.subm_conv(dict(sp, grid=grid), w, table=table)
             new_sp = dict(sp, feats=feats)
             valid = sp["valid"]
         h = nn.LayerNorm(epsilon=1e-3)(new_sp["feats"])
-        new_sp["feats"] = nn.relu(h) * valid[:, None]
+        if kdt == jnp.bfloat16:
+            h = h.astype(kdt)
+        new_sp["feats"] = nn.relu(h) * valid[:, None].astype(h.dtype)
         return new_sp
 
 
@@ -61,22 +81,29 @@ class SecondStack(nn.Module):
             points, mask, self.lidar_range, self.voxel_size, self.max_voxels[0]
         )
         grid = sp.pop("grid")
-        sp = SparseConvLayer(self.channels[0], name="conv_input")(
-            sp, grid, train=train
-        )
+        # first layer consumes raw-coordinate mean features -> stays f32
+        # even under bf16 serving (bf16 ULP at |x|~51 m is 0.25 m)
+        table = sc.neighbor_table(dict(sp, grid=grid))
+        sp = SparseConvLayer(
+            self.channels[0], precise_input=True, name="conv_input"
+        )(sp, grid, table=table, train=train)
         for si in range(1, len(self.channels)):
             sites = sc.downsample_sites(
                 dict(sp, grid=grid), self.max_voxels[si]
             )
             out_grid = sites.pop("grid")
+            st = sc.strided_table(dict(sp, grid=grid), sites)
             sp = SparseConvLayer(
                 self.channels[si], strided=True, name=f"down_{si}"
-            )(sp, grid, out=sites, out_grid=out_grid, train=train)
+            )(sp, grid, out=sites, out_grid=out_grid, table=st,
+              train=train)
             grid = out_grid
+            # the two submanifold convs of this stage share one table
+            table = sc.neighbor_table(dict(sp, grid=grid))
             for j in range(2):
                 sp = SparseConvLayer(
                     self.channels[si], name=f"stage{si}_subm{j}"
-                )(sp, grid, train=train)
+                )(sp, grid, table=table, train=train)
         return sc.to_dense_bev(dict(sp, grid=grid), sp["feats"])
 
 

@@ -124,29 +124,60 @@ def gather_neighbor(keys, coords, valid, grid_zyx, offset):
     return jnp.where(found, pos, keys.shape[0]), found
 
 
-def subm_conv(sp, weights, bias=None):
-    """Submanifold 3x3x3 conv: outputs only at existing active sites.
+def neighbor_table(sp):
+    """(V, 27) gather indices for the 3x3x3 stencil (miss slot = V).
 
-    sp: dict from voxelize_points (keys sorted). weights: (27, Cin, Cout).
-    Returns new feats (V, Cout).
+    One vectorized binary search per offset, built ONCE per resolution
+    level and shared by every submanifold conv at that level — the
+    searchsorted passes, not the GEMMs, dominate sparse-conv runtime on
+    TPU.
     """
     keys, coords, valid = sp["keys"], sp["coords"], sp["valid"]
-    feats = sp["feats"]
+    idxs = [
+        gather_neighbor(keys, coords, valid, sp["grid"], off)[0]
+        for off in _offsets()
+    ]
+    return jnp.stack(idxs, axis=1)  # (V, 27)
+
+
+def apply_table_conv(feats, table, weights, valid, bias=None):
+    """One wide gather + ONE implicit GEMM for a 27-offset conv.
+
+    feats (V, Cin); table (O, 27) indices into feats (V = zero row);
+    weights (27, Cin, Cout). The (O, 27*Cin) @ (27*Cin, Cout) contraction
+    replaces 27 narrow GEMMs — a single MXU-shaped matmul.
+    """
     v, cin = feats.shape
+    o = table.shape[0]
     cout = weights.shape[-1]
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0
     )
-    out = jnp.zeros((v, cout), feats.dtype)
-    for i, off in enumerate(_offsets()):
-        idx, _ = gather_neighbor(keys, coords, valid, sp["grid"], off)
-        gathered = jnp.take(feats_pad, idx, axis=0)
-        out = out + jnp.dot(
-            gathered, weights[i], preferred_element_type=out.dtype
-        )
+    g = jnp.take(feats_pad, table.reshape(-1), axis=0).reshape(
+        o, 27 * cin
+    )
+    out = jnp.dot(
+        g,
+        weights.reshape(27 * cin, cout).astype(feats.dtype),
+        preferred_element_type=feats.dtype,
+    )
     if bias is not None:
         out = out + bias
     return out * valid[:, None]
+
+
+def subm_conv(sp, weights, bias=None, table=None):
+    """Submanifold 3x3x3 conv: outputs only at existing active sites.
+
+    sp: dict from voxelize_points (keys sorted). weights: (27, Cin, Cout).
+    Pass a precomputed ``table`` (neighbor_table(sp)) to share the
+    neighbor search across convs at the same level. Returns (V, Cout).
+    """
+    if table is None:
+        table = neighbor_table(sp)
+    return apply_table_conv(
+        sp["feats"], table, weights, sp["valid"], bias
+    )
 
 
 def downsample_sites(sp, max_out, stride=(2, 2, 2), padding=(1, 1, 1)):
@@ -209,20 +240,16 @@ def downsample_sites(sp, max_out, stride=(2, 2, 2), padding=(1, 1, 1)):
     }
 
 
-def strided_conv(sp, out_sites, weights, bias=None, padding=(1, 1, 1)):
-    """SparseConv3d k=3 s=2 p=1: out[o] = sum_delta W_d * in[2o - p + d]."""
-    keys, coords, valid = sp["keys"], sp["coords"], sp["valid"]
-    feats = sp["feats"]
-    v, cin = feats.shape
-    cout = weights.shape[-1]
-    feats_pad = jnp.concatenate(
-        [feats, jnp.zeros((1, cin), feats.dtype)], axis=0
-    )
+def strided_table(sp, out_sites, padding=(1, 1, 1)):
+    """(O, 27) gather indices for SparseConv3d k=3 s=2 p=1:
+    out[o] reads in[2o - p + d] per stencil offset d."""
+    keys, valid = sp["keys"], sp["valid"]
+    v = keys.shape[0]
     oc = out_sites["coords"]
     ovalid = out_sites["valid"]
-    out = jnp.zeros((oc.shape[0], cout), feats.dtype)
     d, h, w = sp["grid"]
-    for i, (dz, dy, dx) in enumerate(_offsets()):
+    idxs = []
+    for dz, dy, dx in _offsets():
         cz = 2 * oc[:, 0] - padding[0] + dz + 1
         cy = 2 * oc[:, 1] - padding[1] + dy + 1
         cx = 2 * oc[:, 2] - padding[2] + dx + 1
@@ -235,14 +262,18 @@ def strided_conv(sp, out_sites, weights, bias=None, padding=(1, 1, 1)):
         nk = cz * (h * w) + cy * w + cx
         pos = jnp.clip(jnp.searchsorted(keys, nk), 0, v - 1)
         found = in_b & (keys[pos] == nk)
-        idx = jnp.where(found, pos, v)
-        gathered = jnp.take(feats_pad, idx, axis=0)
-        out = out + jnp.dot(
-            gathered, weights[i], preferred_element_type=out.dtype
-        )
-    if bias is not None:
-        out = out + bias
-    return out * ovalid[:, None]
+        idxs.append(jnp.where(found, pos, v))
+    return jnp.stack(idxs, axis=1)  # (O, 27)
+
+
+def strided_conv(sp, out_sites, weights, bias=None, padding=(1, 1, 1),
+                 table=None):
+    """SparseConv3d k=3 s=2 p=1: out[o] = sum_delta W_d * in[2o - p + d]."""
+    if table is None:
+        table = strided_table(sp, out_sites, padding)
+    return apply_table_conv(
+        sp["feats"], table, weights, out_sites["valid"], bias
+    )
 
 
 def to_dense_bev(sp, feats):
