@@ -2,14 +2,19 @@
 
 Capability parity with reference models/heter_encoders.py:52-81 (SECOND =
 MeanVFE -> VoxelBackBone8x -> HeightCompression) and
-sub_modules/sparse_backbone_3d.py — built on the TPU-native implicit-GEMM
-sparse conv primitives in ops/sparse_conv.py instead of spconv.
+sub_modules/sparse_backbone_3d.py — built on the TPU-native COLUMN
+engine in ops/column_conv.py instead of spconv: z dense, (y, x) sparse,
+9 neighbor lookups + MXU GEMMs per conv (see that module's docstring;
+numerically interchangeable with the voxel engine in ops/sparse_conv.py,
+which tests/test_sparse_conv.py verifies).
 
 Stage layout mirrors VoxelBackBone8x: 16 -> 32 -> 64 -> 64 channels with
 three stride-2 sparse downsamples (8x spatial reduction), submanifold
 convs inside each stage, then fold the remaining z layers into channels
 (HeightCompression). Norm: per-voxel LayerNorm (stateless — vmappable
 over the packed agent batch; stands in for the reference's BatchNorm1d).
+Parameter names and (27, Cin, Cout) kernel shapes are shared with the
+previous voxel-engine stack, so checkpoints load unchanged.
 """
 from __future__ import annotations
 
@@ -19,16 +24,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops import sparse_conv as sc
+from ..ops import column_conv as cc
 
 
-class SparseConvLayer(nn.Module):
-    """One sparse conv (subm or strided) + LayerNorm + ReLU.
+class ColumnConvLayer(nn.Module):
+    """One sparse conv (subm or strided) + LayerNorm + ReLU on columns.
 
-    ``table`` carries the precomputed (O, 27) neighbor-gather indices —
-    built once per resolution level (sc.neighbor_table / sc.strided_table)
-    and shared by every conv at that level; the binary searches, not the
-    GEMMs, dominate sparse-conv runtime on TPU. Compute dtype follows the
+    ``table`` carries the precomputed (O, 9) neighbor-column indices —
+    built once per resolution level (cc.column_table / cc.strided_table)
+    and shared by every conv at that level. Compute dtype follows the
     params' dtype (bf16-cast weights -> bf16 conv) except when
     ``precise_input`` keeps a raw-coordinate feature layer in f32.
     """
@@ -38,37 +42,36 @@ class SparseConvLayer(nn.Module):
     precise_input: bool = False
 
     @nn.compact
-    def __call__(self, sp, grid, out=None, out_grid=None, table=None,
+    def __call__(self, cols, grid, out=None, out_grid=None, table=None,
                  train: bool = False):
-        cin = sp["feats"].shape[-1]
+        cin = cols["feats"].shape[-1]
         w = self.param(
             "kernel", nn.initializers.he_normal(), (27, cin, self.cout)
         )
         kdt = jnp.asarray(w).dtype
-        feats_in = sp["feats"]
+        feats_in = cols["feats"]
         if kdt == jnp.bfloat16 and not self.precise_input:
             feats_in = feats_in.astype(kdt)
-        sp = dict(sp, feats=feats_in)
+        cols = dict(cols, feats=feats_in)
         if self.strided:
-            feats = sc.strided_conv(
-                dict(sp, grid=grid), dict(out, grid=out_grid), w,
+            new_cols = cc.strided_conv(
+                dict(cols, grid=grid), dict(out, grid=out_grid), w,
                 table=table,
             )
-            new_sp = dict(out, feats=feats)
-            valid = out["valid"]
+            occ = new_cols["occ"]
         else:
-            feats = sc.subm_conv(dict(sp, grid=grid), w, table=table)
-            new_sp = dict(sp, feats=feats)
-            valid = sp["valid"]
-        h = nn.LayerNorm(epsilon=1e-3)(new_sp["feats"])
+            feats = cc.subm_conv(dict(cols, grid=grid), w, table=table)
+            new_cols = dict(cols, feats=feats)
+            occ = cols["occ"]
+        h = nn.LayerNorm(epsilon=1e-3)(new_cols["feats"])
         if kdt == jnp.bfloat16:
             h = h.astype(kdt)
-        new_sp["feats"] = nn.relu(h) * valid[:, None].astype(h.dtype)
-        return new_sp
+        new_cols["feats"] = nn.relu(h) * occ[..., None].astype(h.dtype)
+        return new_cols
 
 
 class SecondStack(nn.Module):
-    """Per-sample sparse conv stack (vmapped over the agent batch)."""
+    """Per-sample column conv stack (vmapped over the agent batch)."""
 
     lidar_range: Sequence[float]
     voxel_size: Sequence[float]
@@ -77,34 +80,37 @@ class SecondStack(nn.Module):
 
     @nn.compact
     def __call__(self, points, mask, train: bool = False):
-        sp = sc.voxelize_points(
-            points, mask, self.lidar_range, self.voxel_size, self.max_voxels[0]
+        # capacity is per-COLUMN here; active columns <= active voxels,
+        # so the config's max_voxels bounds remain conservative-safe.
+        cols = cc.voxelize_columns(
+            points, mask, self.lidar_range, self.voxel_size,
+            self.max_voxels[0],
         )
-        grid = sp.pop("grid")
+        grid = cols.pop("grid")
         # first layer consumes raw-coordinate mean features -> stays f32
         # even under bf16 serving (bf16 ULP at |x|~51 m is 0.25 m)
-        table = sc.neighbor_table(dict(sp, grid=grid))
-        sp = SparseConvLayer(
+        table = cc.column_table(dict(cols, grid=grid))
+        cols = ColumnConvLayer(
             self.channels[0], precise_input=True, name="conv_input"
-        )(sp, grid, table=table, train=train)
+        )(cols, grid, table=table, train=train)
         for si in range(1, len(self.channels)):
-            sites = sc.downsample_sites(
-                dict(sp, grid=grid), self.max_voxels[si]
+            out_cols = cc.downsample_columns(
+                dict(cols, grid=grid), self.max_voxels[si]
             )
-            out_grid = sites.pop("grid")
-            st = sc.strided_table(dict(sp, grid=grid), sites)
-            sp = SparseConvLayer(
+            out_grid = out_cols.pop("grid")
+            st = cc.strided_table(dict(cols, grid=grid), out_cols)
+            cols = ColumnConvLayer(
                 self.channels[si], strided=True, name=f"down_{si}"
-            )(sp, grid, out=sites, out_grid=out_grid, table=st,
+            )(cols, grid, out=out_cols, out_grid=out_grid, table=st,
               train=train)
             grid = out_grid
             # the two submanifold convs of this stage share one table
-            table = sc.neighbor_table(dict(sp, grid=grid))
+            table = cc.column_table(dict(cols, grid=grid))
             for j in range(2):
-                sp = SparseConvLayer(
+                cols = ColumnConvLayer(
                     self.channels[si], name=f"stage{si}_subm{j}"
-                )(sp, grid, table=table, train=train)
-        return sc.to_dense_bev(dict(sp, grid=grid), sp["feats"])
+                )(cols, grid, table=table, train=train)
+        return cc.to_dense_bev(dict(cols, grid=grid))
 
 
 class SecondEncoder(nn.Module):

@@ -1,0 +1,331 @@
+"""Column-form sparse 3D convolution (SECOND backbone) — TPU-native v2.
+
+Same capability as ops/sparse_conv.py (spconv replacement for the
+reference sub_modules/sparse_backbone_3d.py), reformulated around what
+TPUs are good at. The voxel-level engine pays for per-voxel random
+access three ways: 27-offset key searches (sorts), narrow row gathers
+(~1 element/cycle), and 8-candidate site dedup sorts. Lidar scenes are
+dense in z (a few occupied cells per column) but sparse in (y, x), so
+this engine keeps the z axis DENSE and is sparse only over BEV columns:
+
+  * active columns live in capacity-``Vc`` arrays: sorted 2D linear
+    ``ckeys`` (y*W + x, padding INT32_MAX), ``coords2`` (Vc, 2),
+    ``feats`` (Vc, Z, C) with z dense, and a per-voxel occupancy mask
+    ``occ`` (Vc, Z);
+  * a 3x3x3 conv needs only NINE neighbor lookups (dy, dx) — ~10x fewer
+    sorted-key searches than the voxel engine — and each gather moves a
+    contiguous (Z, C) row, which the HBM likes;
+  * the z part of the stencil is three dense shifts folded into ONE
+    (Vc*Z, 3*Cin) @ (3*Cin, Cout) MXU GEMM per (dy, dx) offset;
+  * submanifold semantics stay EXACT: inactive voxels hold zeros and
+    every conv output is re-masked with ``occ`` (a dense conv restricted
+    to active sites equals the sparse conv because absent neighbors
+    contribute zero);
+  * strided (k=3, s=2, p=1) site generation dedups 4 candidates in 2D
+    (vs 8 in 3D) and derives the output occupancy from max-pooled input
+    occupancy — identical site sets to spconv's rule.
+
+Weights keep the voxel engine's (27, Cin, Cout) layout in
+sparse_conv._offsets() order (dz-major), so parameters are
+interchangeable between engines; tests/test_sparse_conv.py checks the
+two engines agree on the same weights.
+
+All shapes static; batched via vmap.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sparse_conv import INVALID, _offsets
+
+
+def _offsets2d():
+    return [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _regroup_weights(weights):
+    """(27, Cin, Cout) dz-major -> per-(dy,dx) (3*Cin, Cout) blocks.
+
+    Row order inside each block is dz = -1, 0, +1 to match the
+    [z-1, z, z+1] shifted-feature stack.
+    """
+    cin, cout = weights.shape[1], weights.shape[2]
+    idx = {off: i for i, off in enumerate(_offsets())}
+    blocks = []
+    for dy, dx in _offsets2d():
+        rows = [weights[idx[(dz, dy, dx)]] for dz in (-1, 0, 1)]
+        blocks.append(jnp.concatenate(rows, axis=0))  # (3*Cin, Cout)
+    return blocks
+
+
+def voxelize_columns(points, mask, lidar_range, voxel_size, max_cols):
+    """Points -> mean-feature voxel columns (MeanVFE parity).
+
+    points (N, 4); mask (N,). Returns dict with ckeys (Vc,) sorted 2D
+    keys, coords2 (Vc, 2) [y, x], feats (Vc, Z, 4) per-voxel means,
+    occ (Vc, Z) bool, cvalid (Vc,), grid (Z, H, W).
+    """
+    x0, y0, z0, x1, y1, z1 = lidar_range
+    vx, vy, vz = voxel_size
+    nx = int(round((x1 - x0) / vx))
+    ny = int(round((y1 - y0) / vy))
+    nz = int(round((z1 - z0) / vz))
+
+    xi = jnp.floor((points[:, 0] - x0) / vx).astype(jnp.int32)
+    yi = jnp.floor((points[:, 1] - y0) / vy).astype(jnp.int32)
+    zi = jnp.floor((points[:, 2] - z0) / vz).astype(jnp.int32)
+    ok = (
+        mask
+        & (xi >= 0) & (xi < nx)
+        & (yi >= 0) & (yi < ny)
+        & (zi >= 0) & (zi < nz)
+    )
+    col = yi * nx + xi
+    full = jnp.where(ok, col * nz + zi, INVALID)
+
+    order = jnp.argsort(full)
+    full_s = full[order]
+    pts_s = jnp.take(points, order, axis=0)
+    okf = (full_s != INVALID).astype(points.dtype)[:, None]
+    col_s = jnp.where(full_s != INVALID, full_s // nz, INVALID)
+    z_s = jnp.where(full_s != INVALID, full_s % nz, 0)
+
+    chead = jnp.concatenate(
+        [jnp.ones(1, bool), col_s[1:] != col_s[:-1]]
+    ) & (full_s != INVALID)
+    crank = jnp.cumsum(chead.astype(jnp.int32)) - 1
+    crank = jnp.where(full_s != INVALID, crank, max_cols)
+    crank = jnp.minimum(crank, max_cols)
+
+    slot = jnp.where(crank < max_cols, crank * nz + z_s, max_cols * nz)
+    seg = jnp.zeros((max_cols * nz + 1, 5), points.dtype)
+    seg = seg.at[slot].add(
+        jnp.concatenate([pts_s * okf, okf], axis=-1),
+        indices_are_sorted=True,
+    )
+    cnt = seg[: max_cols * nz, 4:5]
+    feats = (seg[: max_cols * nz, :4] / jnp.maximum(cnt, 1.0)).reshape(
+        max_cols, nz, 4
+    )
+    occ = (cnt > 0).reshape(max_cols, nz)
+
+    ckeys = jnp.full((max_cols,), INVALID, jnp.int32)
+    ckeys = ckeys.at[jnp.where(chead, crank, max_cols)].set(
+        jnp.where(chead, col_s, INVALID), mode="drop"
+    )
+    cvalid = ckeys != INVALID
+    kk = jnp.where(cvalid, ckeys, 0)
+    coords2 = jnp.stack([kk // nx, kk % nx], axis=1).astype(jnp.int32)
+    return {
+        "ckeys": ckeys,
+        "coords2": jnp.where(cvalid[:, None], coords2, 0),
+        "feats": feats,
+        "occ": occ & cvalid[:, None],
+        "cvalid": cvalid,
+        "grid": (nz, ny, nx),
+    }
+
+
+def column_table(cols):
+    """(Vc, 9) neighbor-column indices for the 3x3 BEV stencil; miss = Vc.
+
+    One batched sort-method searchsorted over all 9 offsets' queries —
+    the 2D analogue of sparse_conv.neighbor_table, over ~10x fewer keys.
+    """
+    ckeys, coords2, cvalid = cols["ckeys"], cols["coords2"], cols["cvalid"]
+    _, h, w = cols["grid"]
+    vc = ckeys.shape[0]
+    offs = jnp.asarray(_offsets2d(), jnp.int32)  # (9, 2)
+    ny_ = coords2[:, None, 0] + offs[None, :, 0]
+    nx_ = coords2[:, None, 1] + offs[None, :, 1]
+    okq = (
+        cvalid[:, None]
+        & (ny_ >= 0) & (ny_ < h)
+        & (nx_ >= 0) & (nx_ < w)
+    )
+    nk = ny_ * w + nx_
+    pos = jnp.searchsorted(ckeys, nk.reshape(-1), method="sort")
+    pos = jnp.clip(pos, 0, vc - 1).reshape(vc, 9)
+    found = okq & (ckeys[pos] == nk)
+    return jnp.where(found, pos, vc)
+
+
+def _zstack(g):
+    """(Vc, Z, C) -> (Vc, Z, 3C): [in[z-1], in[z], in[z+1]] per z."""
+    zpad = jnp.zeros((g.shape[0], 1, g.shape[2]), g.dtype)
+    gm = jnp.concatenate([zpad, g[:, :-1]], axis=1)
+    gp = jnp.concatenate([g[:, 1:], zpad], axis=1)
+    return jnp.concatenate([gm, g, gp], axis=-1)
+
+
+def subm_conv(cols, weights, table=None, bias=None):
+    """Submanifold 3x3x3 conv on columns: (Vc, Z, Cin) -> (Vc, Z, Cout).
+
+    weights (27, Cin, Cout) in sparse_conv._offsets() order. Outputs are
+    re-masked with ``occ`` so only active voxels carry values.
+    """
+    if table is None:
+        table = column_table(cols)
+    feats = cols["feats"]
+    vc, z, cin = feats.shape
+    cout = weights.shape[-1]
+    wdt = feats.dtype
+    blocks = _regroup_weights(weights.astype(wdt))
+    fpad = jnp.concatenate(
+        [feats, jnp.zeros((1, z, cin), wdt)], axis=0
+    )
+    out = jnp.zeros((vc, z, cout), wdt)
+    for j in range(9):
+        g = jnp.take(fpad, table[:, j], axis=0)  # (Vc, Z, Cin)
+        gg = _zstack(g).reshape(vc * z, 3 * cin)
+        out = out + jnp.dot(
+            gg, blocks[j], preferred_element_type=wdt
+        ).reshape(vc, z, cout)
+    if bias is not None:
+        out = out + bias
+    return out * cols["occ"][..., None].astype(wdt)
+
+
+def downsample_columns(cols, max_out):
+    """spconv SparseConv3d(k=3, s=2, p=1) output COLUMN generation.
+
+    2D analogue of sparse_conv.downsample_sites: each input column
+    contributes to <= 4 candidate output columns; sort-dedup to capacity
+    ``max_out``. Any active input voxel implies >= 1 active output voxel
+    in the candidate column (the stride-2 k=3 p=1 z-windows cover all
+    z), so the 2D rule yields exactly spconv's active column set.
+    """
+    coords2, cvalid = cols["coords2"], cols["cvalid"]
+    z, h, w = cols["grid"]
+    z2 = (z + 2 - 3) // 2 + 1
+    h2 = (h + 2 - 3) // 2 + 1
+    w2 = (w + 2 - 3) // 2 + 1
+    cand = []
+    for by in (0, 1):
+        for bx in (0, 1):
+            oy = (coords2[:, 0] + 1) // 2 - by
+            ox = (coords2[:, 1] + 1) // 2 - bx
+            okc = (
+                cvalid
+                & (oy >= 0) & (oy < h2)
+                & (ox >= 0) & (ox < w2)
+                & (coords2[:, 0] >= 2 * oy - 1)
+                & (coords2[:, 0] <= 2 * oy + 1)
+                & (coords2[:, 1] >= 2 * ox - 1)
+                & (coords2[:, 1] <= 2 * ox + 1)
+            )
+            cand.append(jnp.where(okc, oy * w2 + ox, INVALID))
+    cand = jnp.sort(jnp.concatenate(cand))
+    head = jnp.concatenate(
+        [jnp.ones(1, bool), cand[1:] != cand[:-1]]
+    ) & (cand != INVALID)
+    rank = jnp.minimum(jnp.cumsum(head.astype(jnp.int32)) - 1, max_out)
+    ckeys = jnp.full((max_out,), INVALID, jnp.int32)
+    ckeys = ckeys.at[jnp.where(head, rank, max_out)].set(
+        jnp.where(head, cand, INVALID), mode="drop"
+    )
+    cvalid_o = ckeys != INVALID
+    kk = jnp.where(cvalid_o, ckeys, 0)
+    coords2_o = jnp.stack([kk // w2, kk % w2], axis=1).astype(jnp.int32)
+    return {
+        "ckeys": ckeys,
+        "coords2": jnp.where(cvalid_o[:, None], coords2_o, 0),
+        "cvalid": cvalid_o,
+        "grid": (z2, h2, w2),
+    }
+
+
+def strided_table(cols, out_cols):
+    """(O, 9) input-column indices for the strided conv: output column o
+    reads input column (2*oy + dy, 2*ox + dx) per 2D offset; miss = Vc."""
+    ckeys, cvalid = cols["ckeys"], cols["cvalid"]
+    _, h, w = cols["grid"]
+    oc = out_cols["coords2"]
+    ovalid = out_cols["cvalid"]
+    vc = ckeys.shape[0]
+    offs = jnp.asarray(_offsets2d(), jnp.int32)
+    cy = 2 * oc[:, None, 0] + offs[None, :, 0]
+    cx = 2 * oc[:, None, 1] + offs[None, :, 1]
+    okq = (
+        ovalid[:, None]
+        & (cy >= 0) & (cy < h)
+        & (cx >= 0) & (cx < w)
+    )
+    nk = cy * w + cx
+    pos = jnp.searchsorted(ckeys, nk.reshape(-1), method="sort")
+    pos = jnp.clip(pos, 0, vc - 1).reshape(oc.shape[0], 9)
+    found = okq & (ckeys[pos] == nk)
+    return jnp.where(found, pos, vc)
+
+
+def _zwindows(g, z2):
+    """(O, Z, C) -> (O, Z2, 3C): strided windows in[2*zo - 1 + k], k=0..2."""
+    o, z, c = g.shape
+    zpad = jnp.zeros((o, 1, c), g.dtype)
+    gp = jnp.concatenate([zpad, g, zpad], axis=1)  # (O, Z+2)
+    wins = [
+        jax.lax.slice_in_dim(gp, k, k + 2 * z2 - 1, stride=2, axis=1)
+        for k in range(3)
+    ]
+    return jnp.concatenate(wins, axis=-1)
+
+
+def strided_conv(cols, out_cols, weights, table=None, bias=None):
+    """SparseConv3d k=3 s=2 p=1 on columns -> (O, Z2, Cout) + out occ.
+
+    Returns ``out_cols`` completed with feats and occ (occ = max-pooled
+    input occupancy over each output voxel's 3x3x3 receptive field).
+    """
+    if table is None:
+        table = strided_table(cols, out_cols)
+    feats, occ = cols["feats"], cols["occ"]
+    vc, z, cin = feats.shape
+    z2 = out_cols["grid"][0]
+    o = table.shape[0]
+    cout = weights.shape[-1]
+    wdt = feats.dtype
+    blocks = _regroup_weights(weights.astype(wdt))
+    fpad = jnp.concatenate([feats, jnp.zeros((1, z, cin), wdt)], axis=0)
+    opad = jnp.concatenate(
+        [occ, jnp.zeros((1, z), bool)], axis=0
+    ).astype(jnp.int8)
+    out = jnp.zeros((o, z2, cout), wdt)
+    occ_o = jnp.zeros((o, z2), jnp.int8)
+    for j in range(9):
+        g = jnp.take(fpad, table[:, j], axis=0)  # (O, Z, Cin)
+        gg = _zwindows(g, z2).reshape(o * z2, 3 * cin)
+        out = out + jnp.dot(
+            gg, blocks[j], preferred_element_type=wdt
+        ).reshape(o, z2, cout)
+        go = jnp.take(opad, table[:, j], axis=0)[..., None]  # (O, Z, 1)
+        occ_o = jnp.maximum(
+            occ_o, _zwindows(go, z2).max(axis=-1)
+        )
+    if bias is not None:
+        out = out + bias
+    occ_b = (occ_o > 0) & out_cols["cvalid"][:, None]
+    out = out * occ_b[..., None].astype(wdt)
+    return dict(out_cols, feats=out, occ=occ_b)
+
+
+def to_dense_bev(cols, feats=None):
+    """Columns -> dense (H, W, Z*C) NHWC map (HeightCompression parity:
+    z folded into channels, z-major like sparse_conv.to_dense_bev)."""
+    if feats is None:
+        feats = cols["feats"]
+    z, h, w = cols["grid"]
+    vc, _, c = feats.shape
+    ckeys, cvalid = cols["ckeys"], cols["cvalid"]
+    # sparse_conv.to_dense_bev lays channels out z-major: (y, x, z*c)
+    # with channel index z*C + c; (Vc, Z, C).reshape gives that order.
+    rows = (feats * cols["occ"][..., None].astype(feats.dtype)).reshape(
+        vc, z * c
+    )
+    kk = jnp.where(cvalid, ckeys, h * w)
+    dense = jnp.zeros((h * w + 1, z * c), feats.dtype)
+    dense = dense.at[kk].set(
+        rows, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    return dense[:-1].reshape(h, w, z * c)

@@ -148,6 +148,103 @@ class TestStridedConv:
             assert np.abs(ref[~gen]).max() < 1e-5
 
 
+class TestColumnEngine:
+    """ops/column_conv.py must agree with ops/sparse_conv.py exactly
+    (same weights, same active-site sets) — the SECOND model runs on the
+    column engine; the voxel engine is the verified-against-dense oracle."""
+
+    def _both(self, pts, mask):
+        """Voxel + column structures with generous (non-truncating) caps;
+        the shared fixture's 128-voxel cap drops sites the column engine
+        keeps, which is exactly the asymmetry these tests must not hide."""
+        import jax.numpy as jnp
+
+        from heal_tpu.ops import column_conv as col
+        from heal_tpu.ops import sparse_conv as sc
+
+        sp = sc.voxelize_points(
+            jnp.asarray(pts), jnp.asarray(mask),
+            [0, 0, 0, 1.6, 1.6, 0.8], [0.2, 0.2, 0.2], 256,
+        )
+        cols = col.voxelize_columns(
+            jnp.asarray(pts), jnp.asarray(mask),
+            [0, 0, 0, 1.6, 1.6, 0.8], [0.2, 0.2, 0.2], 96,
+        )
+        return sp, cols
+
+    def _dense_cols(self, cols, feats, cdims):
+        d, h, w = cols["grid"]
+        c = feats.shape[-1]
+        dense = np.zeros((d, h, w, c), np.float32)
+        ck = np.asarray(cols["ckeys"])
+        occ = np.asarray(cols["occ"])
+        for i in np.where(np.asarray(cols["cvalid"]))[0]:
+            y, x = ck[i] // w, ck[i] % w
+            for z in np.where(occ[i])[0]:
+                dense[z, y, x] = np.asarray(feats)[i, z]
+        return dense
+
+    def test_voxelize_and_subm_match_voxel_engine(self, sparse_scene):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops import sparse_conv as sc
+
+        _, pts, mask = sparse_scene
+        sp, cols = self._both(pts, mask)
+        assert np.asarray(cols["occ"]).sum() == np.asarray(
+            sp["valid"]
+        ).sum()
+        dense_sp = dense_from_sparse(sp, sp["feats"])
+        dense_cc = self._dense_cols(cols, cols["feats"], 4)
+        np.testing.assert_allclose(dense_cc, dense_sp, atol=1e-6)
+
+        rng = np.random.default_rng(7)
+        w = jnp.asarray(rng.normal(0, 0.5, (27, 4, 6)).astype(np.float32))
+        from heal_tpu.ops import column_conv as col
+
+        o_sp = dense_from_sparse(sp, sc.subm_conv(sp, w))
+        o_cc = self._dense_cols(cols, col.subm_conv(cols, w), 6)
+        np.testing.assert_allclose(o_cc, o_sp, rtol=1e-4, atol=1e-5)
+
+    def test_strided_matches_voxel_engine(self, sparse_scene):
+        import jax.numpy as jnp
+
+        from heal_tpu.ops import column_conv as col
+        from heal_tpu.ops import sparse_conv as sc
+
+        _, pts, mask = sparse_scene
+        sp, cols = self._both(pts, mask)
+        rng = np.random.default_rng(8)
+        w = jnp.asarray(rng.normal(0, 0.5, (27, 4, 5)).astype(np.float32))
+        sites = sc.downsample_sites(sp, 256)
+        o_sp = sc.strided_conv(sp, sites, w)
+        out_cols = col.downsample_columns(cols, 96)
+        cols2 = col.strided_conv(cols, out_cols, w)
+        assert cols2["grid"] == sites["grid"]
+        # identical active-voxel sets
+        d2, h2, w2 = sites["grid"]
+        cs = np.asarray(sites["coords"])[np.asarray(sites["valid"])]
+        sset = {tuple(r) for r in cs}
+        ck = np.asarray(cols2["ckeys"])
+        occ2 = np.asarray(cols2["occ"])
+        cset = {
+            (z, ck[i] // w2, ck[i] % w2)
+            for i in np.where(np.asarray(cols2["cvalid"]))[0]
+            for z in np.where(occ2[i])[0]
+        }
+        assert sset == cset
+        dn_sp = np.zeros((d2, h2, w2, 5), np.float32)
+        dn_sp[cs[:, 0], cs[:, 1], cs[:, 2]] = np.asarray(o_sp)[
+            np.asarray(sites["valid"])
+        ]
+        dn_cc = self._dense_cols(cols2, cols2["feats"], 5)
+        np.testing.assert_allclose(dn_cc, dn_sp, rtol=1e-4, atol=1e-5)
+        # BEV fold parity
+        bev_sp = np.asarray(sc.to_dense_bev(sites, o_sp))
+        bev_cc = np.asarray(col.to_dense_bev(cols2))
+        np.testing.assert_allclose(bev_cc, bev_sp, rtol=1e-4, atol=1e-5)
+
+
 class TestSecondEncoder:
     def test_forward_shape(self):
         import jax
