@@ -171,3 +171,19 @@ class CenterPointBaselineMultiscale(nn.Module):
         out["spatial_features_2d"] = fused
         out["anchor_free"] = True
         return out
+
+
+@register_model("center_point_intermediate")
+class CenterPointIntermediate(nn.Module):
+    """CenterPoint with attention fusion folded into the backbone at
+    every level (ref models/center_point_intermediate.py, which swaps
+    BaseBEVBackbone for AttBEVBackbone: per-level self-attention across
+    agents) — equivalent to the multiscale baseline pinned to 'att'."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        return CenterPointBaselineMultiscale(
+            args={**self.args, "fusion_method": "att"}, name="ms_att"
+        )(batch, train)

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..utils.camera import depth_discretization, gen_dx_bx
 from .layers import ConvNormAct
+from .registry import register_model
 
 
 class Up(nn.Module):
@@ -202,3 +203,130 @@ class LiftSplatShootEncoder(nn.Module):
                 indices_are_sorted=True,
             )
         return canvas[:cells].reshape(n_y, n_x, self.C)
+
+
+def _camera_inputs(batch: dict) -> dict:
+    """Locate the camera input dict (imgs/rots/trans/intrins/post_*) in a
+    batch — direct key, nested 'camera', or the first camera-typed
+    ``inputs_m*`` slot (late/intermediate assemblers)."""
+    if "imgs" in batch:
+        return batch
+    if "camera" in batch:
+        return batch["camera"]
+    for k in sorted(batch):
+        if k.startswith("inputs_") and isinstance(batch[k], dict) \
+                and "imgs" in batch[k]:
+            return batch[k]
+    raise KeyError("no camera inputs in batch")
+
+
+@register_model("lift_splat_shoot")
+class LiftSplatShoot(nn.Module):
+    """Standalone camera-only detector (ref models/lift_splat_shoot.py:
+    CamEncode -> frustum splat -> BevEncode -> heads, with depth items
+    exported for depth supervision). args: grid_conf, data_aug_conf,
+    img_downsample, img_features, base_bev_backbone, anchor_number,
+    (dir_args), (shrink_header), (pool: 'sum'|'max')."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .heads import DetectionHeads
+        from .point_pillar import _backbone_from_args, _shrink_from_args
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        cams = _camera_inputs(batch)
+        imgs = cams["imgs"]
+        lead = None
+        if imgs.ndim == 6:  # (B, L, N, H, W, 3): collapse agents
+            b, l = imgs.shape[:2]
+            lead = (b, l)
+            cams = {
+                k: v.reshape((b * l,) + v.shape[2:]) for k, v in cams.items()
+            }
+        bev, depth_logits = LiftSplatShootEncoder(
+            args=a, norm=norm, name="encoder"
+        )(cams, train)
+        feat = _backbone_from_args(a, norm)(bev, train)
+        shrink = _shrink_from_args(a, norm)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        if lead is not None:
+            feat = feat.reshape(lead + feat.shape[1:])
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+        )
+        if lead is not None:
+            # per-agent preds keep the flat (B*L) leading dim — the late
+            # path decodes each agent independently
+            out = heads(feat.reshape((-1,) + feat.shape[2:]))
+        else:
+            out = heads(feat)
+        out["spatial_features_2d"] = feat
+        out["depth_items"] = depth_logits
+        return out
+
+
+@register_model("lift_splat_shoot_voxel")
+class LiftSplatShootVoxel(nn.Module):
+    """Max-pool z-collapse variant (ref models/lift_splat_shoot_voxel
+    / heter_encoders.py:244-301: voxel_pooling with max instead of
+    cumsum-sum)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        return LiftSplatShoot(
+            args={**self.args, "pool": "max"}, name="lss_max"
+        )(batch, train)
+
+
+@register_model("lift_splat_shoot_intermediate")
+class LiftSplatShootIntermediate(nn.Module):
+    """Camera-only intermediate fusion: per-agent LSS BEV features are
+    warped to ego and fused with a swappable fusion net
+    (ref models/lift_splat_shoot_intermediate.py)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .fuse import build_fusion
+        from .heads import DetectionHeads
+        from .point_pillar import _backbone_from_args, _shrink_from_args
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        cams = _camera_inputs(batch)
+        b, l = cams["imgs"].shape[:2]
+        flat = {
+            k: v.reshape((b * l,) + v.shape[2:]) for k, v in cams.items()
+        }
+        bev, depth_logits = LiftSplatShootEncoder(
+            args=a, norm=norm, name="encoder"
+        )(flat, train)
+        feat = _backbone_from_args(a, norm)(bev, train)
+        shrink = _shrink_from_args(a, norm)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        feat = feat.reshape((b, l) + feat.shape[1:])
+        method = a.get("fusion_method", "max")
+        fargs = dict(a.get(method, {}) or {})
+        fargs.setdefault("in_channels", feat.shape[-1])
+        fused = build_fusion(method, fargs)(
+            feat, batch["pairwise_affine"], batch["agent_mask"], train
+        )
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+        )
+        out = heads(fused)
+        out["spatial_features_2d"] = fused
+        out["depth_items"] = depth_logits
+        return out

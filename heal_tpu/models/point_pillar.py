@@ -122,6 +122,119 @@ class PointPillarUncertainty(nn.Module):
         return out
 
 
+@register_model("point_pillar_baseline_multiscale")
+class PointPillarBaselineMultiscale(nn.Module):
+    """Homogeneous intermediate fusion at every backbone level
+    (ref models/point_pillar_baseline_multiscale.py: per-level fusion
+    nets over get_multiscale_feature outputs, then deblock-decode).
+
+    Levels are computed on UNFUSED per-agent features; each level's
+    fusion sees all agents warped to ego, and the decoded concat of
+    fused levels feeds shrink + heads — matching the reference's
+    fuse-then-decode order.
+    """
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .fuse import build_fusion
+        from .layers import NaiveCompressor
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        encoder = PointPillarEncoder(
+            voxel_size=tuple(a["voxel_size"]),
+            lidar_range=tuple(a["lidar_range"]),
+            num_filters=tuple(a["pillar_vfe"]["num_filters"]),
+            use_absolute_xyz=a["pillar_vfe"].get("use_absolute_xyz", True),
+            with_distance=a["pillar_vfe"].get("with_distance", False),
+            norm=norm,
+            presorted=a.get("presorted", False),
+        )
+        backbone = _backbone_from_args(a, norm)
+        shrink = _shrink_from_args(a, norm)
+        method = a["fusion_method"]
+        num_filters = tuple(a["base_bev_backbone"]["num_filters"])
+        fusions = [
+            build_fusion(
+                method,
+                dict(
+                    a.get(method, {}) or {}, in_channels=num_filters[i]
+                ),
+            )
+            for i in range(len(num_filters))
+        ]
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", False),
+        )
+
+        points = batch["points"]  # (B, L, N, 4)
+        pmask = batch["point_mask"]
+        b, l = points.shape[:2]
+        flat_pts = points.reshape((b * l,) + points.shape[2:])
+        flat_msk = pmask.reshape((b * l,) + pmask.shape[2:])
+        x = encoder(flat_pts, flat_msk, train)
+        if "compression" in a:
+            x = NaiveCompressor(
+                input_dim=x.shape[-1],
+                compress_ratio=a["compression"],
+                norm=norm,
+            )(x, train)
+        fused_levels = []
+        for i, fusion in enumerate(fusions):
+            x = backbone.stages[i](x, train)
+            xl = x.reshape((b, l) + x.shape[1:])
+            fused_levels.append(
+                fusion(xl, batch["pairwise_affine"], batch["agent_mask"],
+                       train)
+            )
+        fused = backbone.decode(fused_levels, train)
+        if shrink is not None:
+            fused = shrink(fused, train)
+        out = heads(fused)
+        out["spatial_features_2d"] = fused
+        return out
+
+
+@register_model("point_pillar_disconet")
+class PointPillarDiscoNet(nn.Module):
+    """DiscoNet student: intermediate fusion fixed to DiscoFusion, with
+    the fused feature exported for KD feature imitation against the
+    early-fusion teacher (ref models/point_pillar_disconet.py; the
+    teacher forward is grafted in by tools/train_w_kd.KDModel)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        out = PointPillarBaseline(
+            args={**self.args, "fusion_method": "disconet"},
+            name="student",
+        )(batch, train)
+        out["feature"] = out["spatial_features_2d"]
+        return out
+
+
+@register_model("point_pillar_disconet_teacher")
+class PointPillarDiscoNetTeacher(nn.Module):
+    """DiscoNet teacher: single-agent PointPillars run on the
+    early-fused (ego-projected, merged) point cloud; exports
+    ``teacher_feature`` for the KD loss
+    (ref models/point_pillar_disconet_teacher.py)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        out = PointPillar(args=self.args, name="teacher")(batch, train)
+        out["teacher_feature"] = out["spatial_features_2d"]
+        return out
+
+
 @register_model("point_pillar_baseline")
 class PointPillarBaseline(nn.Module):
     """Homogeneous intermediate fusion with a swappable fusion net

@@ -37,6 +37,7 @@ def build_model(model_cfg: dict):
         from . import fpvrcnn  # noqa: F401
         from . import heter_baseline  # noqa: F401
         from . import heter_pyramid  # noqa: F401
+        from . import lift_splat_shoot  # noqa: F401
         from . import pixor  # noqa: F401
         from . import point_pillar  # noqa: F401
         from . import second_model  # noqa: F401

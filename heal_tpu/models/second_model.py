@@ -61,6 +61,70 @@ class Second(nn.Module):
         return out
 
 
+@register_model("second_ssfa")
+class SecondSSFA(nn.Module):
+    """SECOND encoder + SSFA neck + anchor heads (ref
+    models/second_ssfa.py: MeanVFE -> VoxelBackBone8x -> HeightCompression
+    -> cia_ssd_utils.SSFA -> Head with IoU branch)."""
+
+    args: Any
+    use_uncertainty: bool = False
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        from .ciassd import SSFA
+        from .layers import ConvNormAct
+
+        a = self.args
+        norm = a.get("norm", "batch")
+        encoder = _encoder_from_args(a, norm)
+        shrink = _shrink_from_args(a, norm)
+        points = batch["points"]
+        mask = batch["point_mask"]
+        if points.ndim == 4:  # (B, L, N, 4) agent-batched
+            b, l = points.shape[:2]
+            points = points.reshape((b * l,) + points.shape[2:])
+            mask = mask.reshape((b * l,) + mask.shape[2:])
+        bev = encoder(points, mask, train)
+        feat_num = a.get("ssfa", {}).get("feature_num", 128)
+        bev = ConvNormAct(feat_num, 3, 1, norm=norm, name="input_proj")(
+            bev, train
+        )
+        feat = SSFA(features=feat_num, norm=norm, name="ssfa")(bev, train)
+        if shrink is not None:
+            feat = shrink(feat, train)
+        heads = DetectionHeads(
+            anchor_number=a["anchor_number"],
+            use_dir="dir_args" in a,
+            num_bins=a.get("dir_args", {}).get("num_bins", 2),
+            use_iou=a.get("use_iou", not self.use_uncertainty),
+        )
+        out = heads(feat)
+        if self.use_uncertainty:
+            # log-var x/y + log-kappa yaw per anchor
+            # (ref second_ssfa_uncertainty.py unc_head)
+            out["unc_preds"] = nn.Conv(
+                a.get("uncertainty_dim", 3) * a["anchor_number"], (1, 1),
+                name="unc_head",
+            )(feat)
+        out["spatial_features_2d"] = feat
+        return out
+
+
+@register_model("second_ssfa_uncertainty")
+class SecondSSFAUncertainty(nn.Module):
+    """SECOND + SSFA with an aleatoric-uncertainty head
+    (ref models/second_ssfa_uncertainty.py)."""
+
+    args: Any
+
+    @nn.compact
+    def __call__(self, batch, train: bool = False):
+        return SecondSSFA(
+            args=self.args, use_uncertainty=True, name="ssfa_unc"
+        )(batch, train)
+
+
 @register_model("second_intermediate")
 class SecondIntermediate(nn.Module):
     """Homogeneous SECOND intermediate fusion (swappable fusion method)."""
