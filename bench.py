@@ -38,6 +38,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from heal_tpu.utils.jit_cache import enable_persistent_cache, jit_init
+
+    enable_persistent_cache()
+
     from heal_tpu.config import load_yaml
     from heal_tpu.data import build_dataset
     from heal_tpu.models import build_model
@@ -78,7 +82,7 @@ def main():
     ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
     variables = cast16(
-        model.init(jax.random.PRNGKey(0), frames[0], train=False)
+        jit_init(model, jax.random.PRNGKey(0), frames[0], train=False)
     )
 
     post = cfg["postprocess"]

@@ -80,7 +80,9 @@ class Trainer:
     fix_modules: tuple = ()
 
     def init_state(self, rng, example_batch) -> TrainState:
-        variables = self.model.init(rng, example_batch, train=False)
+        from ..utils.jit_cache import jit_init
+
+        variables = jit_init(self.model, rng, example_batch, train=False)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         return TrainState(

@@ -48,6 +48,9 @@ def bench_path(name: str, spec: dict, frames: int):
     from ..data import build_dataset
     from ..models import build_model
     from ..postprocess.decode import post_process_single
+    from ..utils.jit_cache import enable_persistent_cache, jit_init
+
+    enable_persistent_cache()
 
     root = os.path.join(os.path.dirname(__file__), "..", "configs")
     cfg = load_yaml(os.path.join(root, spec["cfg"]))
@@ -75,7 +78,7 @@ def bench_path(name: str, spec: dict, frames: int):
         for _, b in zip(range(frames), ds.batches(1, shuffle=False))
     ]
     stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *fs)
-    variables = cast16(model.init(jax.random.PRNGKey(0), fs[0], train=False))
+    variables = cast16(jit_init(model, jax.random.PRNGKey(0), fs[0], train=False))
     post = cfg["postprocess"]
     anchors = jnp.asarray(ds.anchors)
     gt_range = jnp.asarray(post["gt_range"], dtype=jnp.float32)

@@ -202,6 +202,9 @@ def run_inference(
 
 
 def main(argv=None):
+    from ..utils.jit_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser("heal_tpu inference")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--range", default=None, help="e.g. 102.4,102.4")

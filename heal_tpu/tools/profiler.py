@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.jit_cache import enable_persistent_cache, jit_init
+
 
 def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
@@ -83,6 +85,8 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args(argv)
 
+    enable_persistent_cache()
+
     from ..config import load_yaml
     from ..data import build_dataset
     from ..losses import build_loss
@@ -95,7 +99,7 @@ def main(argv=None):
     ds = build_dataset(cfg, train=False)
     model = build_model(cfg["model"])
     batch = to_device(next(ds.batches(1, shuffle=False)))
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jit_init(model, jax.random.PRNGKey(0), batch, train=False)
 
     report = {
         "params": count_params(variables.get("params", variables)),

@@ -23,6 +23,7 @@ from ..parallel.freezing import freeze_wrap
 from ..parallel.schedulers import build_optimizer
 from ..parallel.trainer import to_device
 from . import checkpoint as ckpt_lib
+from ..utils.jit_cache import enable_persistent_cache
 
 
 def parse_args(argv=None):
@@ -72,6 +73,7 @@ def setup_run_dir(cfg: dict, args) -> str:
 
 
 def main(argv=None):
+    enable_persistent_cache()
     args = parse_args(argv)
     assert args.hypes_yaml or args.model_dir, "need -y or --model_dir"
     cfg = load_yaml(args.hypes_yaml or "", model_dir=args.model_dir or None)

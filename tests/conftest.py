@@ -37,3 +37,9 @@ if "--xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# persistent compilation cache: the suite recompiles many mid-size
+# programs; on this 1-core box the disk cache cuts several minutes
+from heal_tpu.utils.jit_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
