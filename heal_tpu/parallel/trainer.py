@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 
 class TrainState(struct.PyTreeNode):
@@ -29,10 +29,15 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
-def make_mesh(num_devices: int | None = None, axis: str = "data") -> Mesh:
-    devices = jax.devices()
-    n = num_devices or len(devices)
-    return Mesh(np.array(devices[:n]), (axis,))
+def make_mesh(
+    num_devices: int | None = None,
+    agent: int = 1,
+    model: int = 1,
+) -> Mesh:
+    """(data, agent, model) mesh — see parallel/sharding.py."""
+    from .sharding import make_mesh as _mk
+
+    return _mk(num_devices, agent=agent, model=model)
 
 
 def _label_targets(batch: dict) -> dict:
@@ -155,26 +160,16 @@ class Trainer:
     def compile(self):
         """Build the jitted step functions (optionally mesh-sharded)."""
         if self.mesh is not None:
-            data = NamedSharding(self.mesh, P("data"))
-            repl = NamedSharding(self.mesh, P())
+            from . import sharding as shlib
 
-            def shard_batch(batch):
-                return jax.tree.map(
-                    lambda x: jax.device_put(x, data)
-                    if hasattr(x, "shape") and x.ndim > 0
-                    else x,
-                    batch,
-                )
-
-            self.shard_batch = shard_batch
-            self.train_step = jax.jit(self._train_step, donate_argnums=0)
-            self.eval_step = jax.jit(self._eval_step)
-            self.infer_step = jax.jit(self._infer_step)
+            self.shard_batch = lambda b: shlib.shard_batch(b, self.mesh)
+            self.shard_state = lambda s: shlib.shard_state(s, self.mesh)
         else:
             self.shard_batch = lambda b: b
-            self.train_step = jax.jit(self._train_step, donate_argnums=0)
-            self.eval_step = jax.jit(self._eval_step)
-            self.infer_step = jax.jit(self._infer_step)
+            self.shard_state = lambda s: s
+        self.train_step = jax.jit(self._train_step, donate_argnums=0)
+        self.eval_step = jax.jit(self._eval_step)
+        self.infer_step = jax.jit(self._infer_step)
         return self
 
 

@@ -36,8 +36,9 @@ def parse_args(argv=None):
     p.add_argument("--init_from", default=None,
                    help="checkpoint path to loosely load before training "
                         "(HEAL stage-2: the stage-1 collab base)")
-    p.add_argument("--devices", type=int, default=0,
-                   help="data-parallel over N devices (0 = single device;"
+    p.add_argument("--devices", default=0,
+                   help="device mesh: N (data-parallel) or DxAxM "
+                        "(data x agent x model; 0 = single device;"
                         " replaces the reference's DDP/NCCL)")
     return p.parse_args(argv)
 
@@ -101,11 +102,19 @@ def main(argv=None):
     if args.devices:
         from ..parallel import make_mesh
 
-        mesh = make_mesh(args.devices)
-        assert batch_size % args.devices == 0, (
-            "batch_size must divide across --devices"
+        # "--devices 8" = pure data parallel; "--devices 2x2x2" =
+        # (data, agent, model) mesh — see parallel/sharding.py
+        dims = [int(d) for d in str(args.devices).lower().split("x")]
+        data, agent, model_ax = (dims + [1, 1])[:3]
+        n = data * agent * model_ax
+        mesh = make_mesh(n, agent=agent, model=model_ax)
+        assert batch_size % data == 0, (
+            "batch_size must divide across the mesh data axis"
         )
-        print(f"[train] data-parallel mesh over {args.devices} devices")
+        print(
+            f"[train] mesh over {n} devices "
+            f"(data={data}, agent={agent}, model={model_ax})"
+        )
 
     # stage-2 / compressor finetune: fix_modules stay frozen (params via
     # optimizer masking, batch_stats via freeze_stats in the trainer)
@@ -147,6 +156,7 @@ def main(argv=None):
         print(f"[train] resumed from {path} (epoch {start_epoch})")
 
     trainer.compile()
+    state = trainer.shard_state(state)
     from .logging import MetricLogger
 
     # Device-resident epoch cache (train_params.cache_device_batches):

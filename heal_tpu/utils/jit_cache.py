@@ -33,6 +33,13 @@ def enable_persistent_cache(path: str | None = None) -> str:
     cache_dir = path or env or _DEFAULT_DIR
     import jax
 
+    # CPU-only: skip. Local CPU compiles are cheap, and XLA:CPU AOT cache
+    # entries embed host machine features — loading one compiled under a
+    # different feature set (e.g. across the sanitized-env re-exec the
+    # test suite does) warns about potential SIGILL. The cache's value is
+    # the minutes-long remote TPU compiles, which stay enabled.
+    if jax.default_backend() == "cpu":
+        return ""
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
