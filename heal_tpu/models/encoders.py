@@ -95,6 +95,10 @@ class PointPillarEncoder(nn.Module):
     # _presort contract, data/scene.py) -> skip the device argsort, which
     # costs more than the entire conv stack at 150k points on a v5e
     presorted: bool = False
+    # eval-mode TPU serving uses the fused Pallas segmented-reduce kernel
+    # (ops/pallas_pillar.py) instead of XLA segment ops: one streaming
+    # pass over the sorted points replaces the two ~2 ms scatters
+    pallas_scatter: bool = True
 
     @property
     def grid_nx(self):
@@ -237,12 +241,28 @@ class PointPillarEncoder(nn.Module):
                 axis=-1,
             )
 
-        center = centers_of(jnp.arange(s_total, dtype=jnp.int32) % cells)
-
         local = ((fp[:, :3] - centers_of(fi % cells)).astype(cdt)) * w
         pfeat = jnp.concatenate(
             [local, fp[:, 3:4].astype(cdt) * w], axis=-1
         )  # (N, 4) bf16-safe small values
+
+        import os
+
+        force = os.environ.get("HEAL_TPU_FORCE_PALLAS") == "1"
+        if (
+            not train
+            and self.pallas_scatter
+            and (jax.default_backend() == "tpu" or force)
+        ):
+            mu, var = ra_mean.value, ra_var.value
+            s_aff = scale.astype(jnp.float32) * jax.lax.rsqrt(var + 1e-3)
+            b_aff = bias.astype(jnp.float32) - s_aff * mu
+            return self._pallas_eval(
+                fi, local, pfeat, w, a_mat, w_mu, w_raw, s_aff, b_aff,
+                b, cdt,
+            )
+
+        center = centers_of(jnp.arange(s_total, dtype=jnp.int32) % cells)
         a_pt = pfeat @ a_mat.astype(cdt)  # (N, F), invalid -> 0
 
         # mean term via a WIDE segment_sum: XLA's TPU scatter is ~4x
@@ -299,6 +319,85 @@ class PointPillarEncoder(nn.Module):
         )
         canvas = jnp.where(
             jnp.isfinite(m_seg), jnp.maximum(m_seg + tb, 0.0), 0.0
+        )
+        canvas = canvas.reshape(b, cells, -1)[:, : nx * ny]
+        return canvas.reshape(b, ny, nx, -1)
+
+    def _pallas_eval(
+        self, fi, local, pfeat, w, a_mat, w_mu, w_raw, s_aff, b_aff, b, cdt
+    ):
+        """Eval-mode fused path on the Pallas segmented-reduce kernel.
+
+        Same math as the XLA fused path below (the BN affine is folded
+        into the per-point GEMM and the per-run epilogue inside the
+        kernel); sums accumulate in f32 instead of the segment op's
+        operand dtype, otherwise equal up to f32 rounding.
+        """
+        from ..ops import pallas_pillar as pp
+
+        nx, ny = self.grid_nx, self.grid_ny
+        cells = nx * ny + 1
+        f = self.num_filters[0]
+        s_total = b * cells
+        n = fi.shape[0]
+        pb = pp.P_BLOCK
+        npad = -n % pb
+        if npad:
+            # pad points join a sentinel run whose cell is out of bounds
+            fi = jnp.concatenate(
+                [fi, jnp.full((npad,), s_total, fi.dtype)]
+            )
+            pfeat = jnp.pad(pfeat, ((0, npad), (0, 0)))
+            local = jnp.pad(local, ((0, npad), (0, 0)))
+            w = jnp.pad(w, ((0, npad), (0, 0)))
+
+        # BN scale folded into the point GEMM (sign-safe: applied per
+        # point, before the max)
+        a2 = (jnp.asarray(a_mat, jnp.float32) * s_aff).astype(cdt)
+        u = pfeat @ a2  # (Np, F)
+        g4 = jnp.concatenate(
+            [local.astype(jnp.float32), w.astype(jnp.float32)], axis=-1
+        )  # (Np, 4): w-weighted local xyz + count
+
+        prev = jnp.concatenate([fi[:1] - 1, fi[:-1]])
+        cidx = jnp.cumsum((fi != prev).astype(jnp.int32)) - 1
+        nxt = jnp.concatenate([fi[1:], fi[-1:] + 1])
+        ends = (fi != nxt).astype(jnp.int32)
+
+        vx, vy, vz = self.voxel_size
+        x0, y0, z0 = self.lidar_range[:3]
+        geom = jnp.zeros((f,), jnp.float32).at[:8].set(
+            jnp.asarray(
+                [vx, vy, x0 + vx / 2, y0 + vy / 2, z0 + vz / 2,
+                 float(nx), float(cells), float(s_total)],
+                jnp.float32,
+            )
+        )
+        consts = jnp.concatenate(
+            [
+                jnp.asarray(w_mu, jnp.float32) * s_aff,  # W1 (3, F)
+                jnp.asarray(w_raw[:3], jnp.float32) * s_aff,  # W2 (3, F)
+                b_aff[None, :],
+                geom[None, :],
+            ],
+            axis=0,
+        )  # (8, F)
+
+        vals, cells_tab = pp.pillar_tables(
+            u,
+            g4,
+            cidx,
+            ends,
+            fi.astype(jnp.float32),
+            (fi // cells).astype(jnp.float32),
+            consts,
+            # interpreter off-TPU (testing via HEAL_TPU_FORCE_PALLAS)
+            interpret=jax.default_backend() != "tpu",
+        )
+        # cells are monotone (gap rows duplicate the previous real cell
+        # with zero values), so the expand is a SORTED scatter-add
+        canvas = jnp.zeros((s_total, f), u.dtype).at[cells_tab[:, 0]].add(
+            vals.astype(u.dtype), indices_are_sorted=True, mode="drop"
         )
         canvas = canvas.reshape(b, cells, -1)[:, : nx * ny]
         return canvas.reshape(b, ny, nx, -1)
