@@ -35,6 +35,11 @@ PATH_CONFIGS = {
         "cfg": "opv2v/camera_only/m2_pyramid.yaml",
         "desc": "Lift-Splat-Shoot camera pyramid collab",
     },
+    # full heterogeneous alliance: all four encoder families in one frame
+    "heter4": {
+        "cfg": "opv2v/heal/final_infer/m1m2m3m4.yaml",
+        "desc": "HEAL alliance m1+m2+m3+m4 (pillars/camera/SECOND/16-line)",
+    },
 }
 
 
