@@ -59,6 +59,20 @@ class IntermediateAssembler:
             sorted(heter["modality_setting"].keys()) if heter else ["m1"]
         )
         self.modality_setting = (heter or {}).get("modality_setting", {})
+        # static per-modality agent capacity (heter.modality_setting.mX.
+        # max_agents): defaults to max_cav, i.e. any mix fits. Multi-
+        # modality configs with deterministic assignments should set it —
+        # padding each modality to the FULL max_cav makes the model encode
+        # n_modalities * max_cav agent slots (mostly padding); excess
+        # agents of a modality beyond the cap are dropped like agents
+        # beyond comm range (the reference's ragged input_list has no
+        # padding at all, intermediate_heter_fusion_dataset.py:414-439)
+        self.modality_cap = {
+            m: int(self.modality_setting.get(m, {}).get(
+                "max_agents", self.max_cav
+            ))
+            for m in self.modalities
+        }
 
     def sensor_type(self, modality: str) -> str:
         return self.modality_setting.get(modality, {}).get(
@@ -263,23 +277,31 @@ class IntermediateAssembler:
         """
         L = self.max_cav
         for m in self.modalities:
-            slots = np.full(L, L, dtype=np.int32)
-            entries = [
+            cap = self.modality_cap[m]
+            slots = np.full(cap, L, dtype=np.int32)
+            all_entries = [
                 slot for slot, _ in enumerate(keep) if modality[slot] == m
             ]
+            entries = all_entries[:cap]
+            # agents beyond the modality capacity leave the collaboration
+            # entirely (their slot would otherwise feed zero features)
+            for slot in all_entries[cap:]:
+                sample["agent_mask"][slot] = False
             for j, slot in enumerate(entries):
                 slots[j] = slot
             sample[f"slots_{m}"] = slots
             if self.sensor_type(m) == "lidar":
-                pts = np.zeros((L,) + sample["points"].shape[1:], np.float32)
-                msk = np.zeros((L,) + sample["point_mask"].shape[1:], bool)
+                pts = np.zeros((cap,) + sample["points"].shape[1:],
+                               np.float32)
+                msk = np.zeros((cap,) + sample["point_mask"].shape[1:],
+                               bool)
                 for j, slot in enumerate(entries):
                     pts[j] = sample["points"][slot]
                     msk[j] = sample["point_mask"][slot]
                 sample[f"inputs_{m}"] = {"points": pts, "point_mask": msk}
             else:
                 sample[f"inputs_{m}"] = self._pack_cameras(
-                    scene, keep, entries, m, L
+                    scene, keep, entries, m, cap
                 )
 
     def _pack_cameras(self, scene, keep, entries, m, L):

@@ -35,14 +35,32 @@ def nms_rotated_fixed(
     k = corners_bev.shape[0]
     iou = rotated_iou_matrix(corners_bev, corners_bev, jnp)  # (K, K)
 
-    def body(i, keep):
-        # if candidate i survives, suppress all later overlapping candidates
-        suppress = (iou[i] > iou_threshold) & (
-            jnp.arange(k) > i
-        )
-        return jnp.where(keep[i], keep & ~suppress, keep)
+    # Greedy NMS solves the triangular recurrence
+    #   keep_j = valid_j & not any_{i<j}(keep_i & iou_ij > thr).
+    # A K-step sequential sweep is latency-bound on TPU (~K x few us), so
+    # we iterate the recurrence as a fixpoint instead: any fixpoint equals
+    # the greedy solution (strong induction over j), and each iteration
+    # extends the correct prefix by at least one index — in practice whole
+    # non-conflicting chains resolve at once, so it converges in ~chain
+    # depth (3-6) iterations of one (K,K) masked matvec each.
+    sup = (
+        (iou > iou_threshold)
+        & (jnp.arange(k)[:, None] < jnp.arange(k)[None, :])
+    ).astype(jnp.float32)  # sup[i, j]: kept i would suppress later j
 
-    keep = jax.lax.fori_loop(0, k, body, valid)
+    def cond(state):
+        t, keep, changed = state
+        return changed & (t < k)
+
+    def body(state):
+        t, keep, _ = state
+        hit = keep.astype(jnp.float32) @ sup  # any kept suppressor?
+        new = valid & (hit < 0.5)
+        return t + 1, new, jnp.any(new != keep)
+
+    _, keep, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), valid, jnp.bool_(True))
+    )
     return keep
 
 

@@ -135,3 +135,40 @@ class TestCheckpointMerge:
         )
         np.testing.assert_allclose(target["a"]["w"], 1.0)
         assert missing == ["/b"]
+
+
+class TestModalityCapacity:
+    """heter.modality_setting.mX.max_agents bounds the packed capacity."""
+
+    def test_capped_packing_drops_excess_and_masks(self):
+        import numpy as np
+        from heal_tpu.config import load_yaml
+        from heal_tpu.data import build_dataset
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_heter_collab.yaml"))
+        cfg["train_params"]["max_cav"] = 3
+        cfg["fusion"]["args"]["num_agents"] = 3
+        # every agent is m1 (mapping collapses); cap m1 at 2
+        for m, setting in cfg["heter"]["modality_setting"].items():
+            setting["max_agents"] = 2
+        ds = build_dataset(cfg, train=False)
+        batch = next(ds.batches(1, shuffle=False))
+        for m in cfg["heter"]["modality_setting"]:
+            assert batch[f"slots_{m}"].shape[1] == 2
+            lead = batch[f"inputs_{m}"]
+            lead = lead["points"] if "points" in lead else next(
+                iter(lead.values()))
+            assert lead.shape[1] == 2
+        # the third m1 agent left the collaboration entirely
+        assert batch["agent_mask"].sum() <= 2
+
+    def test_default_capacity_unchanged(self):
+        from heal_tpu.config import load_yaml
+        from heal_tpu.data import build_dataset
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_heter_collab.yaml"))
+        L = cfg["train_params"]["max_cav"]
+        ds = build_dataset(cfg, train=False)
+        batch = next(ds.batches(1, shuffle=False))
+        for m in cfg["heter"]["modality_setting"]:
+            assert batch[f"slots_{m}"].shape[1] == L
