@@ -189,6 +189,10 @@ class IntermediateAssembler:
             )
 
         sample = {
+            # agents in comm range but beyond a per-modality packing
+            # capacity (see _pack_modalities) — surfaced so a
+            # misconfigured alliance cannot silently lose sensors
+            "dropped_agent_count": np.int32(0),
             "agent_mask": agent_mask,
             "agent_modality": np.array(
                 [MODALITY_KEYS.index(m) for m in modality]
@@ -284,9 +288,12 @@ class IntermediateAssembler:
             ]
             entries = all_entries[:cap]
             # agents beyond the modality capacity leave the collaboration
-            # entirely (their slot would otherwise feed zero features)
+            # entirely (their slot would otherwise feed zero features).
+            # NOTE: the reference keeps every in-range agent; here the
+            # static per-modality capacity can evict — count it loudly.
             for slot in all_entries[cap:]:
                 sample["agent_mask"][slot] = False
+                sample["dropped_agent_count"] += np.int32(1)
             for j, slot in enumerate(entries):
                 slots[j] = slot
             sample[f"slots_{m}"] = slots

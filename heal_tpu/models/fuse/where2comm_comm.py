@@ -20,14 +20,22 @@ class CommMask(nn.Module):
     gaussian_smooth: bool = True
     smooth_kernel: int = 5
     smooth_sigma: float = 1.0
+    # train-time threshold sampling: log-uniform in threshold * 10^[-lo, hi]
+    # so the downstream fusion trains against the masking it will see at
+    # eval across the whole bandwidth-budget sweep (the reference trains
+    # with its fixed config threshold always applied,
+    # comm_modules/where2comm.py:34-79)
+    train_sample_exp_lo: float = 1.0
+    train_sample_exp_hi: float = 1.0
 
     @nn.compact
     def __call__(self, confidence, train: bool = False):
         """confidence: (B, L, H, W, 1) in [0, 1] (e.g. sigmoid cls max).
 
-        Returns (mask, comm_rate): mask (B, L, H, W, 1) in {0, 1} at eval
-        (soft passthrough in training, as the reference trains without
-        hard masking); comm_rate scalar.
+        Returns (mask, comm_rate): mask (B, L, H, W, 1) in {0, 1};
+        applied in training too (with a per-call sampled threshold when a
+        ``comm`` rng is provided) so threshold-robustness is trained
+        behaviour, not only eval behaviour.
         """
         conf = confidence
         if self.gaussian_smooth:
@@ -45,9 +53,15 @@ class CommMask(nn.Module):
                 "SAME",
             ).transpose(0, 2, 3, 1)
             conf = flat.reshape(b, l, h, w, 1)
-        if train:
-            return jnp.ones_like(conf), jnp.asarray(1.0)
-        mask = (conf > self.threshold).astype(confidence.dtype)
+        thr = jnp.asarray(self.threshold, jnp.float32)
+        if train and self.has_rng("comm"):
+            u = jax.random.uniform(
+                self.make_rng("comm"),
+                minval=-self.train_sample_exp_lo,
+                maxval=self.train_sample_exp_hi,
+            )
+            thr = thr * jnp.power(10.0, u)
+        mask = (conf > thr).astype(confidence.dtype)
         comm_rate = mask.mean()
         return mask, comm_rate
 

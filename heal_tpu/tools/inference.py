@@ -142,7 +142,11 @@ def run_inference(
 
     n_batches = 0
     comm_rates = []
+    dropped_agents = 0
     for batch in dataset.batches(1, shuffle=False):
+        dropped_agents += int(
+            np.sum(batch.get("dropped_agent_count", 0))
+        )
         if late:
             det = _infer_late(batch)
         else:
@@ -198,6 +202,14 @@ def run_inference(
     if comm_rates:
         result["comm_rate"] = float(np.mean(comm_rates))
         print(f"[inference] comm_rate {result['comm_rate']:.4f}")
+    result["dropped_agent_count"] = dropped_agents
+    if dropped_agents:
+        print(
+            f"[inference] WARNING: {dropped_agents} in-range agent(s) "
+            "left the collaboration because a per-modality packing "
+            "capacity was exceeded (raise heter.modality_setting.mX."
+            "max_agents or max_cav to keep them)"
+        )
     return result
 
 

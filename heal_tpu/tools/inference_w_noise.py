@@ -23,12 +23,16 @@ def run_noise_sweep(
     levels=NOISE_LEVELS,
     max_batches=None,
     box_align_precalc: str | None = None,
+    von_mises: bool = False,
 ):
     """AP per pose-noise level; with ``box_align_precalc`` (a
     pose_graph_pre_calc dump) the sweep also runs CoAlign pose
     refinement, demonstrating AP recovery under localization error
     (ref tools/inference_w_noise.py + box_align_v2 consumption in
     intermediate_heter_fusion_dataset.py:372-399)."""
+    dist_name = (
+        "laplace" if laplace else "vonmises" if von_mises else "gauss"
+    )
     results = {}
     for std in levels:
         noise = {
@@ -39,9 +43,10 @@ def run_noise_sweep(
                 "pos_mean": 0,
                 "rot_mean": 0,
                 "laplace": laplace,
+                "von_mises": von_mises,
             },
         }
-        tag = f"noise_{'laplace' if laplace else 'gauss'}_{std}"
+        tag = f"noise_{dist_name}_{std}"
         override = None
         if box_align_precalc:
             override = {"box_align": {"precalc_path": box_align_precalc}}
@@ -58,7 +63,7 @@ def run_noise_sweep(
               f"{results[std]}")
     out_path = os.path.join(
         model_dir,
-        f"ap_vs_noise_{'laplace' if laplace else 'gauss'}"
+        f"ap_vs_noise_{dist_name}"
         f"{'_boxalign' if box_align_precalc else ''}.json",
     )
     with open(out_path, "w") as f:
@@ -70,6 +75,9 @@ def main(argv=None):
     p = argparse.ArgumentParser("heal_tpu inference_w_noise")
     p.add_argument("--model_dir", required=True)
     p.add_argument("--laplace", action="store_true")
+    p.add_argument("--von_mises", action="store_true",
+                   help="Gaussian position + von-Mises yaw noise "
+                        "(ref pose_utils.generate_noise_torch)")
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--box_align", default=None, metavar="PRECALC_JSON",
                    help="pose_graph_pre_calc dump; enables CoAlign pose "
@@ -77,7 +85,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     run_noise_sweep(args.model_dir, args.laplace,
                     max_batches=args.max_batches,
-                    box_align_precalc=args.box_align)
+                    box_align_precalc=args.box_align,
+                    von_mises=args.von_mises)
 
 
 if __name__ == "__main__":

@@ -1,7 +1,7 @@
 """Camera geometry utilities (host side, numpy).
 
 Capability parity with reference ``opencood/utils/camera_utils.py``:
-depth discretization UD/LID (:137-207), BEV grid derivation gen_dx_bx
+depth discretization UD/LID/SID (:137-207), BEV grid derivation gen_dx_bx
 (:129), image normalization, and lidar->camera depth-map rendering for
 depth supervision.
 """
@@ -22,13 +22,32 @@ def gen_dx_bx(xbound, ybound, zbound):
 
 
 def depth_discretization(d_min, d_max, num_bins, mode: str) -> np.ndarray:
-    """Depth-bin center values. UD uniform; LID linear-increasing."""
+    """Depth-bin start values. UD uniform; LID linear-increasing; SID
+    log-spaced (spacing-increasing, CaDDN arXiv:2005.13423)."""
     if mode == "UD":
         size = (d_max - d_min) / num_bins
         return d_min + size * np.arange(num_bins)
     if mode == "LID":
         size = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
         return d_min + size * (np.arange(num_bins) * np.arange(1, 1 + num_bins)) / 2
+    if mode == "SID":
+        log_lo, log_hi = np.log(1 + d_min), np.log(1 + d_max)
+        return np.exp(log_lo + (log_hi - log_lo) * np.arange(num_bins) / num_bins) - 1
+    raise NotImplementedError(mode)
+
+
+def indices_to_depth(indices, d_min, d_max, num_bins, mode: str):
+    """Bin indices -> depth values (inverse of ``bin_depths`` bin starts)."""
+    indices = np.asarray(indices, np.float64)
+    if mode == "UD":
+        size = (d_max - d_min) / num_bins
+        return d_min + indices * size
+    if mode == "LID":
+        size = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
+        return d_min + size * (indices * (indices + 1)) / 2
+    if mode == "SID":
+        log_lo, log_hi = np.log(1 + d_min), np.log(1 + d_max)
+        return np.exp(log_lo + (log_hi - log_lo) * indices / num_bins) - 1
     raise NotImplementedError(mode)
 
 
@@ -40,6 +59,15 @@ def bin_depths(depth_map, mode, d_min, d_max, num_bins, target=True):
     elif mode == "LID":
         size = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
         idx = -0.5 + 0.5 * np.sqrt(1 + 8 * (depth_map - d_min) / size)
+    elif mode == "SID":
+        # idx = N * (log(1+d) - log(1+d_min)) / (log(1+d_max) - log(1+d_min))
+        # (ref camera_utils.bin_depths SID branch, :160-162)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            idx = (
+                num_bins
+                * (np.log1p(np.maximum(depth_map, -1.0)) - np.log1p(d_min))
+                / (np.log1p(d_max) - np.log1p(d_min))
+            )
     else:
         raise NotImplementedError(mode)
     mask = (idx >= 0) & (idx < num_bins) & np.isfinite(idx)

@@ -26,6 +26,43 @@ class TestCameraUtils:
         idx, mask = bin_depths(centers + 1e-3, "LID", 2, 50, 16)
         assert (idx == np.arange(16)).all()
 
+    def test_sid_discretization(self):
+        """SID: log-spaced bins (CaDDN), spacing increases with depth
+        (ref camera_utils.py:160-162)."""
+        from heal_tpu.utils.camera import (
+            bin_depths,
+            depth_discretization,
+            indices_to_depth,
+        )
+
+        d = depth_discretization(2, 50, 16, "SID")
+        assert len(d) == 16 and abs(d[0] - 2.0) < 1e-9
+        w = np.diff(d)
+        assert np.all(w > 0) and np.all(np.diff(w) > 0)
+        # bin starts land exactly on their own index
+        idx, mask = bin_depths(d + 1e-6, "SID", 2, 50, 16)
+        assert (idx == np.arange(16)).all() and mask.all()
+        # indices_to_depth inverts the bin-start mapping
+        np.testing.assert_allclose(
+            indices_to_depth(np.arange(16), 2, 50, 16, "SID"), d, atol=1e-9
+        )
+        # out-of-range depths are masked out and routed to the ignore bin
+        idx, mask = bin_depths(np.array([0.5, 80.0]), "SID", 2, 50, 16)
+        assert not mask.any() and (idx == 16).all()
+
+    def test_indices_to_depth_ud_lid(self):
+        from heal_tpu.utils.camera import (
+            depth_discretization,
+            indices_to_depth,
+        )
+
+        for mode in ("UD", "LID"):
+            np.testing.assert_allclose(
+                indices_to_depth(np.arange(16), 2, 50, 16, mode),
+                depth_discretization(2, 50, 16, mode),
+                atol=1e-9,
+            )
+
     def test_render_depth_map(self):
         from heal_tpu.utils.camera import (
             default_camera_rig,

@@ -159,8 +159,19 @@ class TestModalityCapacity:
             lead = lead["points"] if "points" in lead else next(
                 iter(lead.values()))
             assert lead.shape[1] == 2
-        # the third m1 agent left the collaboration entirely
+        # the third m1 agent left the collaboration entirely — and the
+        # eviction is counted, never silent
         assert batch["agent_mask"].sum() <= 2
+        assert int(batch["dropped_agent_count"].sum()) >= 1
+
+    def test_no_drop_reports_zero(self):
+        from heal_tpu.config import load_yaml
+        from heal_tpu.data import build_dataset
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_heter_collab.yaml"))
+        ds = build_dataset(cfg, train=False)
+        batch = next(ds.batches(1, shuffle=False))
+        assert int(batch["dropped_agent_count"].sum()) == 0
 
     def test_default_capacity_unchanged(self):
         from heal_tpu.config import load_yaml
@@ -172,3 +183,36 @@ class TestModalityCapacity:
         batch = next(ds.batches(1, shuffle=False))
         for m in cfg["heter"]["modality_setting"]:
             assert batch[f"slots_{m}"].shape[1] == L
+
+
+class TestPoseNoise:
+    """Pose-noise distributions (ref utils/pose_utils.py:9-140)."""
+
+    def test_von_mises_statistics(self):
+        from heal_tpu.utils.pose_noise import generate_noise_von_mises
+
+        np.random.seed(0)
+        deltas = np.stack(
+            [generate_noise_von_mises(0.5, 10.0) for _ in range(4000)]
+        )
+        # only x, y, yaw perturbed
+        assert np.all(deltas[:, [2, 3, 5]] == 0)
+        assert abs(deltas[:, 0].std() - 0.5) < 0.05
+        # kappa = (180/(pi*rot_std))^2 makes the circular std ~rot_std deg
+        yaw = deltas[:, 4]
+        assert abs(yaw.mean()) < 1.0
+        assert abs(yaw.std() - 10.0) < 1.0
+        # samples stay on the circle
+        assert np.all(np.abs(yaw) <= 180.0)
+
+    def test_add_pose_noise_dispatch(self):
+        from heal_tpu.utils.pose_noise import add_pose_noise
+
+        poses = [np.zeros(6), np.ones(6)]
+        np.random.seed(1)
+        out = add_pose_noise(
+            poses, {"pos_std": 0.2, "rot_std": 0.2, "von_mises": True}
+        )
+        assert len(out) == 2
+        delta = out[1] - np.ones(6)
+        assert np.any(delta[:2] != 0) and delta[2] == 0

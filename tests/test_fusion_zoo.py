@@ -140,17 +140,42 @@ class TestWhere2commMasks:
             np.asarray(out_masked), np.asarray(out_ego), atol=1e-5
         )
 
-    def test_train_mode_is_passthrough(self, setup):
+    def test_train_mode_masks_like_eval(self, setup):
+        """The reference trains with masking always applied
+        (comm_modules/where2comm.py:34-79); without a ``comm`` rng the
+        train-time mask uses the fixed config threshold."""
         import jax
 
         feats, affine, mask = setup
         conf = jax.nn.sigmoid(feats[..., :1])
         mod = self._fusion(0.9)
         v = mod.init(jax.random.PRNGKey(0), feats, affine, mask, False, conf)
-        _, rate = mod.apply(
+        _, rate_train = mod.apply(
             v, feats, affine, mask, True, confidence=conf
         )
-        assert float(rate) == 1.0
+        _, rate_eval = mod.apply(
+            v, feats, affine, mask, False, confidence=conf
+        )
+        assert float(rate_train) == float(rate_eval) < 1.0
+
+    def test_train_threshold_sampling(self, setup):
+        """With a ``comm`` rng, training samples the threshold per call
+        (log-uniform around the config value) so masked-robustness is
+        trained behaviour across the bandwidth sweep."""
+        import jax
+
+        feats, affine, mask = setup
+        conf = jax.nn.sigmoid(feats[..., :1])
+        mod = self._fusion(0.6)
+        v = mod.init(jax.random.PRNGKey(0), feats, affine, mask, False, conf)
+        rates = set()
+        for seed in range(6):
+            _, rate = mod.apply(
+                v, feats, affine, mask, True, confidence=conf,
+                rngs={"comm": jax.random.PRNGKey(seed)},
+            )
+            rates.add(round(float(rate), 6))
+        assert len(rates) > 1, rates
 
     def test_baseline_model_reports_comm_rate(self):
         """point_pillar_baseline + where2comm emits comm_rate and the
