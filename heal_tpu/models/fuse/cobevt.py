@@ -13,6 +13,7 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.warp import warp_agents_to_ego
 
@@ -22,12 +23,39 @@ NEG_INF = -1e9
 class SwapAttention(nn.Module):
     """One axial attention pass. mode='window': tokens are the L*ws*ws
     cells of each local window. mode='grid': tokens are the L*gs*gs cells
-    of a dilated global grid (window/grid swap of MaxViT/CoBEVT)."""
+    of a dilated global grid (window/grid swap of MaxViT/CoBEVT). Carries
+    the reference's 3D (agent, dy, dx) relative-position bias over the
+    window tokens (swap_fusion_modules.py Attention:55-107)."""
 
     dim: int
     size: int
     heads: int = 8
     mode: str = "window"
+
+    def _rel_pos_bias(self, l):
+        """(1, M, L*s*s, L*s*s) bias from a (2L-1)(2s-1)^2 table."""
+        s = self.size
+        coords = np.stack(
+            np.meshgrid(
+                np.arange(l), np.arange(s), np.arange(s), indexing="ij"
+            ),
+            -1,
+        ).reshape(-1, 3)
+        rel = coords[None, :, :] - coords[:, None, :]
+        rel += np.array([l - 1, s - 1, s - 1])
+        idx = (
+            rel[..., 0] * (2 * s - 1) * (2 * s - 1)
+            + rel[..., 1] * (2 * s - 1)
+            + rel[..., 2]
+        )
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(0.02),
+            ((2 * l - 1) * (2 * s - 1) ** 2, self.heads),
+        )
+        n = l * s * s
+        bias = table[idx.reshape(-1)].reshape(n, n, self.heads)
+        return bias.transpose(2, 0, 1)[None]
 
     @nn.compact
     def __call__(self, x, mask):
@@ -49,8 +77,13 @@ class SwapAttention(nn.Module):
         kv_mask = jnp.broadcast_to(
             kv_mask[:, None, None, None, :], (b, nh, nw, 1, l * s * s)
         ).reshape(b * nh * nw, 1, 1, l * s * s)
+        bias = self._rel_pos_bias(l)
         out = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.dim
+            num_heads=self.heads,
+            qkv_features=self.dim,
+            attention_fn=lambda q_, k_, v_, **kw: nn.dot_product_attention(
+                q_, k_, v_, bias=bias, **kw
+            ),
         )(tokens, tokens, tokens, mask=kv_mask)
         out = out.reshape(b, nh, nw, l, s, s, c)
         if self.mode == "window":

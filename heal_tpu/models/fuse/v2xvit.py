@@ -1,14 +1,26 @@
 """V2X-ViT fusion: heterogeneous multi-agent transformer.
 
 Capability parity with reference fuse_modules/fusion_in_one.py:320-372 +
-sub_modules/v2xvit_basic.py (V2XTransformer), hmsa.py (heterogeneous
-multi-agent self-attention) and mswin.py (multi-scale window attention):
-per-block = HMSA across the agent axis (per pixel, with per-agent-type
-relative embeddings) -> multi-scale windowed spatial self-attention per
-agent -> MLP, all with residuals + LayerNorm.
+sub_modules/v2xvit_basic.py (V2XTransformer), hmsa.py (HGTCavAttention)
+and mswin.py (PyramidWindowAttention) + split_attn.py (SplitAttn):
 
-TPU-first: agents fixed at L with masks; windows are static reshapes; the
-agent axis attention batches over all pixels as one big MXU matmul.
+* HMSA is *typed*: every agent selects q/k/v/out projections by its agent
+  TYPE (modality), and every sender->receiver edge applies a learned
+  per-type-pair relation matrix inside both the attention bilinear form
+  and the value/message transform (hmsa.py:28-36,126-145). Shuffling
+  which slot holds which modality therefore permutes, never changes, the
+  fusion — the embeddings follow the TYPE, not the slot.
+* MSwin runs parallel window-attention branches at multiple window sizes,
+  each with a relative-position bias (mswin.py:19-82), fused by radix
+  split-attention (split_attn.py:30-65).
+* Block structure: depth x [num_blocks x (PreNorm HMSA + residual ->
+  PreNorm MSwin + residual) -> PreNorm FFN + residual]
+  (v2xvit_basic.py:86-183).
+
+TPU-first: agents fixed at L with masks; type selection is a one-hot
+weight gather feeding batched MXU matmuls; the L x L relation loop is a
+static unroll (L <= max_cav, typically 5) of large pixel-batched
+contractions — no per-batch python loops, no ragged shapes.
 """
 from __future__ import annotations
 
@@ -17,50 +29,144 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.warp import warp_agents_to_ego
 
 NEG_INF = -1e9
 
 
+def _type_onehot(agent_types, num_types, l):
+    """(B, L) int types -> (B, L, T) one-hot; None -> type 0 for all."""
+    if agent_types is None:
+        return None
+    t = jnp.clip(agent_types[:, :l], 0, num_types - 1)
+    return jax.nn.one_hot(t, num_types)
+
+
+class TypedDense(nn.Module):
+    """Per-agent-TYPE linear layer: weights selected by a (B, L, T)
+    one-hot (ref hmsa.py k_linears/q_linears/v_linears/a_linears: one
+    nn.Linear per type, applied per agent by its type)."""
+
+    features: int
+    num_types: int
+
+    @nn.compact
+    def __call__(self, x, type_oh):
+        # x: (B, L, H, W, C); type_oh: (B, L, T) or None
+        c = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.num_types, c, self.features),
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.num_types, self.features)
+        )
+        if type_oh is None:
+            return (
+                jnp.einsum("blhwc,cd->blhwd", x, w[0]) + bias[0]
+            )
+        w_agent = jnp.einsum("blt,tcd->blcd", type_oh, w)
+        b_agent = jnp.einsum("blt,td->bld", type_oh, bias)
+        return (
+            jnp.einsum("blhwc,blcd->blhwd", x, w_agent)
+            + b_agent[:, :, None, None, :]
+        )
+
+
 class HMSA(nn.Module):
-    """Heterogeneous multi-agent self-attention: per-pixel attention over
-    the agent axis, with a learned per-agent-slot bias standing in for the
-    reference's type embeddings (types are known per slot)."""
+    """Heterogeneous multi-agent self-attention (HGT-style): per-pixel
+    attention over the agent axis with typed projections and per-edge
+    relation matrices (ref hmsa.py HGTCavAttention)."""
 
     dim: int
     heads: int = 8
+    num_types: int = 4
 
     @nn.compact
-    def __call__(self, x, mask):
-        # x: (B, L, H, W, C); mask: (B, L)
+    def __call__(self, x, mask, agent_types=None):
+        # x: (B, L, H, W, C); mask: (B, L); agent_types: (B, L) ints
         b, l, h, w, c = x.shape
-        qkv = nn.Dense(3 * self.dim, name="qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        hd = self.dim // self.heads
+        m, dh = self.heads, self.dim // self.heads
+        t_num = self.num_types
+        type_oh = _type_onehot(agent_types, t_num, l)
 
-        def split_heads(t):
-            return t.reshape(b, l, h, w, self.heads, hd)
+        q = TypedDense(self.dim, t_num, name="q")(x, type_oh)
+        k = TypedDense(self.dim, t_num, name="k")(x, type_oh)
+        v = TypedDense(self.dim, t_num, name="v")(x, type_oh)
+        q = q.reshape(b, l, h, w, m, dh)
+        k = k.reshape(b, l, h, w, m, dh)
+        v = v.reshape(b, l, h, w, m, dh)
 
-        q, k, v = map(split_heads, (q, k, v))
-        logits = jnp.einsum("blhwnd,bmhwnd->bhwnlm", q, k) / jnp.sqrt(
-            jnp.asarray(hd, x.dtype)
+        # per-(receiver type, sender type) relation matrices
+        # (ref hmsa.py relation_att/relation_msg, xavier init)
+        rel_att = self.param(
+            "relation_att",
+            nn.initializers.xavier_uniform(),
+            (t_num, t_num, m, dh, dh),
         )
-        rel = self.param(
-            "agent_bias", nn.initializers.zeros, (1, 1, 1, 1, l, l)
+        rel_msg = self.param(
+            "relation_msg",
+            nn.initializers.xavier_uniform(),
+            (t_num, t_num, m, dh, dh),
         )
-        logits = logits + rel
+        if type_oh is None:
+            edge_oh = None
+        else:
+            # (B, L, L, T, T): one-hot of (type_i, type_j) per edge
+            edge_oh = jnp.einsum("bit,bju->bijtu", type_oh, type_oh)
+
+        scale = 1.0 / np.sqrt(dh)
+        logits = []
+        msgs = []
+        for i in range(l):  # static unroll: L is small (<= max_cav)
+            row_logits = []
+            row_msgs = []
+            for j in range(l):
+                if edge_oh is None:
+                    w_att = jnp.broadcast_to(
+                        rel_att[0, 0], (b, m, dh, dh)
+                    )
+                    w_msg = jnp.broadcast_to(
+                        rel_msg[0, 0], (b, m, dh, dh)
+                    )
+                else:
+                    w_att = jnp.einsum(
+                        "btu,tumde->bmde", edge_oh[:, i, j], rel_att
+                    )
+                    w_msg = jnp.einsum(
+                        "btu,tumde->bmde", edge_oh[:, i, j], rel_msg
+                    )
+                qw = jnp.einsum("bhwmd,bmde->bhwme", q[:, i], w_att)
+                row_logits.append(
+                    jnp.einsum("bhwme,bhwme->bmhw", qw, k[:, j]) * scale
+                )
+                row_msgs.append(
+                    jnp.einsum("bhwmd,bmde->bhwme", v[:, j], w_msg)
+                )
+            logits.append(jnp.stack(row_logits, axis=-1))  # (B, M, H, W, L)
+            msgs.append(jnp.stack(row_msgs, axis=1))  # (B, L, H, W, M, dh)
+        logits = jnp.stack(logits, axis=-2)  # (B, M, H, W, Li, Lj)
         logits = jnp.where(
             mask[:, None, None, None, None, :], logits, NEG_INF
         )
         attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhwnlm,bmhwnd->blhwnd", attn, v)
+        out = jnp.stack(
+            [
+                jnp.einsum("bmhwj,bjhwme->bhwme", attn[..., i, :], msgs[i])
+                for i in range(l)
+            ],
+            axis=1,
+        )  # (B, L, H, W, M, dh)
         out = out.reshape(b, l, h, w, self.dim)
-        return nn.Dense(self.dim, name="proj")(out)
+        return TypedDense(self.dim, t_num, name="proj")(out, type_oh)
 
 
 class WindowAttention(nn.Module):
-    """Non-overlapping window self-attention at one window size."""
+    """Non-overlapping window self-attention with relative-position bias
+    (ref mswin.py BaseWindowAttention)."""
 
     dim: int
     window: int
@@ -73,21 +179,66 @@ class WindowAttention(nn.Module):
         ws = self.window
         x = x.reshape(n, h // ws, ws, w // ws, ws, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+        # relative-position bias over the ws*ws tokens, indexed by the
+        # (dy, dx) offset between token pairs (mswin.py:32-38,63-66)
+        coords = np.stack(
+            np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij"), -1
+        ).reshape(-1, 2)
+        rel = coords[None, :, :] - coords[:, None, :] + ws - 1
+        rel_idx = rel[..., 0] * (2 * ws - 1) + rel[..., 1]
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(0.02),
+            ((2 * ws - 1) ** 2, self.heads),
+        )
+        bias = table[rel_idx.reshape(-1)].reshape(
+            ws * ws, ws * ws, self.heads
+        )
+        bias = bias.transpose(2, 0, 1)[None]  # (1, M, T, T)
+
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.dim
+            num_heads=self.heads,
+            qkv_features=self.dim,
+            attention_fn=lambda q_, k_, v_, **kw: nn.dot_product_attention(
+                q_, k_, v_, bias=bias, **kw
+            ),
         )(x)
         attn = attn.reshape(n, h // ws, w // ws, ws, ws, c)
         attn = attn.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
         return attn
 
 
-class MSwin(nn.Module):
-    """Multi-scale window attention: parallel branches at different
-    window sizes, fused by summation (ref mswin.py uses split-attn; we
-    use a learned softmax gate over branches)."""
+class SplitAttn(nn.Module):
+    """Radix split-attention over parallel branches: a per-channel radix
+    softmax computed from the globally pooled branch sum
+    (ref split_attn.py SplitAttn/RadixSoftmax)."""
 
     dim: int
-    windows: tuple = (2, 4)
+
+    @nn.compact
+    def __call__(self, branches):
+        # branches: list of (N, H, W, C)
+        radix = len(branches)
+        gap = sum(branches).mean(axis=(1, 2), keepdims=True)  # (N,1,1,C)
+        gap = nn.relu(nn.LayerNorm()(nn.Dense(self.dim, use_bias=False)(gap)))
+        logits = nn.Dense(radix * self.dim, use_bias=False)(gap)
+        n = logits.shape[0]
+        gate = jax.nn.softmax(
+            logits.reshape(n, 1, 1, radix, self.dim), axis=3
+        )
+        return sum(
+            gate[:, :, :, r] * br for r, br in enumerate(branches)
+        )
+
+
+class MSwin(nn.Module):
+    """Multi-scale window attention: parallel branches at different
+    window sizes fused by split-attention (ref mswin.py
+    PyramidWindowAttention fuse_method='split_attn')."""
+
+    dim: int
+    windows: tuple = (2, 4, 8)
 
     @nn.compact
     def __call__(self, x):
@@ -99,46 +250,71 @@ class MSwin(nn.Module):
             xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
             o = WindowAttention(self.dim, ws, name=f"win{ws}")(xp)
             outs.append(o[:, :h, :w])
-        gate = self.param(
-            "branch_gate", nn.initializers.zeros, (len(outs),)
-        )
-        gw = jax.nn.softmax(gate)
-        return sum(gi * oi for gi, oi in zip(gw, outs))
+        return SplitAttn(self.dim, name="split_attn")(outs)
 
 
 class V2XViTBlock(nn.Module):
+    """num_blocks x (PreNorm HMSA -> PreNorm MSwin), each residual
+    (ref v2xvit_basic.py V2XFusionBlock)."""
+
     dim: int
+    num_blocks: int = 1
+    num_types: int = 4
+    windows: tuple = (2, 4, 8)
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, agent_types=None):
         b, l, h, w, c = x.shape
-        y = nn.LayerNorm()(x)
-        x = x + HMSA(self.dim, name="hmsa")(y, mask)
-        flat = x.reshape(b * l, h, w, c)
-        y = nn.LayerNorm()(flat)
-        flat = flat + MSwin(self.dim, name="mswin")(y)
-        y = nn.LayerNorm()(flat)
-        mlp = nn.Dense(self.dim)(nn.gelu(nn.Dense(2 * self.dim)(y)))
-        flat = flat + mlp
-        return flat.reshape(b, l, h, w, c)
+        for n in range(self.num_blocks):
+            y = nn.LayerNorm()(x)
+            x = x + HMSA(
+                self.dim, num_types=self.num_types, name=f"hmsa_{n}"
+            )(y, mask, agent_types)
+            flat = x.reshape(b * l, h, w, c)
+            y = nn.LayerNorm()(flat)
+            flat = flat + MSwin(
+                self.dim, self.windows, name=f"mswin_{n}"
+            )(y)
+            x = flat.reshape(b, l, h, w, c)
+        return x
 
 
 class V2XViTFusion(nn.Module):
-    """args: transformer {encoder {depth ...}} or flat {depth, dim}."""
+    """args: transformer {encoder {num_blocks, depth}} or flat
+    {depth, num_blocks, num_types, windows}."""
 
     args: Any
 
     @nn.compact
-    def __call__(self, features, affine, agent_mask, train: bool = False):
+    def __call__(
+        self,
+        features,
+        affine,
+        agent_mask,
+        train: bool = False,
+        agent_types=None,
+    ):
         cfg = self.args or {}
-        depth = (
-            cfg.get("transformer", {})
-            .get("encoder", {})
-            .get("num_blocks", cfg.get("depth", 2))
-        )
+        enc = cfg.get("transformer", {}).get("encoder", {})
+        depth = enc.get("depth", cfg.get("depth", 2))
+        num_blocks = enc.get("num_blocks", cfg.get("num_blocks", 1))
+        num_types = cfg.get("num_types", 4)
+        windows = tuple(cfg.get("windows", (2, 4, 8)))
         c = features.shape[-1]
         x = warp_agents_to_ego(features, affine)
         x = x * agent_mask[:, :, None, None, None]
+        b, l, h, w, _ = x.shape
         for i in range(depth):
-            x = V2XViTBlock(c, name=f"block_{i}")(x, agent_mask)
+            x = V2XViTBlock(
+                c,
+                num_blocks=num_blocks,
+                num_types=num_types,
+                windows=windows,
+                name=f"block_{i}",
+            )(x, agent_mask, agent_types)
+            # PreNorm FFN per depth (v2xvit_basic.py V2XTEncoder layers)
+            flat = x.reshape(b * l, h, w, c)
+            y = nn.LayerNorm()(flat)
+            flat = flat + nn.Dense(c)(nn.gelu(nn.Dense(2 * c)(y)))
+            x = flat.reshape(b, l, h, w, c)
         return nn.LayerNorm()(x[:, 0])

@@ -120,6 +120,17 @@ class HeterModelBaseline(nn.Module):
                 confidence=confidence,
             )
             out_aux["comm_rate"] = comm_rate
+        elif a["fusion_method"] == "v2xvit":
+            # typed HMSA: the transformer conditions on each agent's
+            # MODALITY, so embeddings follow the sensor type when
+            # assignments shuffle (ref sub_modules/hmsa.py)
+            fused = self.fusion(
+                feat_all,
+                batch["pairwise_affine"],
+                agent_mask,
+                train,
+                agent_types=batch["agent_modality"],
+            )
         else:
             fused = self.fusion(
                 feat_all, batch["pairwise_affine"], agent_mask, train
@@ -236,8 +247,15 @@ class HeterModelBaselineMS(nn.Module):
             if i > 0:
                 x = self.backbone.stages[i](x, train)
             xl = x.reshape((b, l) + x.shape[1:])
+            extra = (
+                {"agent_types": batch["agent_modality"]}
+                if self.args["fusion_method"] == "v2xvit"
+                else {}
+            )
             fused_levels.append(
-                fusion(xl, batch["pairwise_affine"], agent_mask, train)
+                fusion(
+                    xl, batch["pairwise_affine"], agent_mask, train, **extra
+                )
             )
         fused = self.backbone.decode(fused_levels, train)
         if self.shrink is not None:

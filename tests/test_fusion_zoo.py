@@ -206,3 +206,74 @@ class TestWhere2commMasks:
         out = model.apply(v, batch, train=False)
         assert "comm_rate" in out and 0.0 <= float(out["comm_rate"]) <= 1.0
         assert "cls_preds_single" in out
+
+
+class TestV2XViTTypeEquivariance:
+    """Typed HMSA: embeddings follow the agent TYPE (modality), not the
+    slot (ref sub_modules/hmsa.py HGTCavAttention per-type projections +
+    per-type-pair relation matrices)."""
+
+    def _mod(self):
+        from heal_tpu.models.fuse import build_fusion
+
+        return build_fusion("v2xvit", {"depth": 1, "num_types": 3})
+
+    def _setup4(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(3)
+        b, l, h, w, c = 1, 4, 8, 8, 32
+        feats = jnp.asarray(
+            rng.normal(0, 1, (b, l, h, w, c)).astype(np.float32)
+        )
+        affine = jnp.asarray(
+            np.tile(np.array([[1.0, 0, 0], [0, 1.0, 0]], np.float32),
+                    (b, l, l, 1, 1))
+        )
+        mask = jnp.asarray(np.ones((b, l), bool))
+        types = jnp.asarray(np.array([[0, 1, 2, 1]], np.int32))
+        return feats, affine, mask, types
+
+    def test_collaborator_permutation_invariance(self):
+        """Shuffling which SLOT holds which (feature, modality) pair must
+        not change the ego output: nothing is keyed on slot index."""
+        import jax
+
+        feats, affine, mask, types = self._setup4()
+        mod = self._mod()
+        v = mod.init(
+            jax.random.PRNGKey(0), feats, affine, mask, False, types
+        )
+        out = np.asarray(
+            mod.apply(v, feats, affine, mask, False, agent_types=types)
+        )
+        perm = [0, 3, 1, 2]  # ego fixed, collaborators shuffled
+        out_p = np.asarray(
+            mod.apply(
+                v, feats[:, perm], affine, mask, False,
+                agent_types=types[:, perm],
+            )
+        )
+        np.testing.assert_allclose(out, out_p, atol=2e-4)
+
+    def test_type_swap_changes_output(self):
+        """Swapping only the TYPES of two collaborators (features stay in
+        their slots) must change the fusion: the per-slot-bias design this
+        replaces was blind to it."""
+        import jax
+
+        feats, affine, mask, types = self._setup4()
+        mod = self._mod()
+        v = mod.init(
+            jax.random.PRNGKey(0), feats, affine, mask, False, types
+        )
+        out = np.asarray(
+            mod.apply(v, feats, affine, mask, False, agent_types=types)
+        )
+        types_swapped = types.at[0, 1].set(2).at[0, 2].set(1)
+        out_s = np.asarray(
+            mod.apply(
+                v, feats, affine, mask, False, agent_types=types_swapped
+            )
+        )
+        assert np.abs(out - out_s).max() > 1e-4
