@@ -53,25 +53,28 @@ def indices_to_depth(indices, d_min, d_max, num_bins, mode: str):
 
 def bin_depths(depth_map, mode, d_min, d_max, num_bins, target=True):
     """Depth map -> bin indices (+ validity mask when not target)."""
-    if mode == "UD":
-        size = (d_max - d_min) / num_bins
-        idx = (depth_map - d_min) / size
-    elif mode == "LID":
-        size = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
-        idx = -0.5 + 0.5 * np.sqrt(1 + 8 * (depth_map - d_min) / size)
-    elif mode == "SID":
-        # idx = N * (log(1+d) - log(1+d_min)) / (log(1+d_max) - log(1+d_min))
-        # (ref camera_utils.bin_depths SID branch, :160-162)
-        with np.errstate(invalid="ignore", divide="ignore"):
+    with np.errstate(invalid="ignore", divide="ignore"):
+        if mode == "UD":
+            size = (d_max - d_min) / num_bins
+            idx = (depth_map - d_min) / size
+        elif mode == "LID":
+            size = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
+            idx = -0.5 + 0.5 * np.sqrt(1 + 8 * (depth_map - d_min) / size)
+        elif mode == "SID":
+            # idx = N*(log(1+d) - log(1+d_min))/(log(1+d_max) - log(1+d_min))
+            # (ref camera_utils.bin_depths SID branch, :160-162)
             idx = (
                 num_bins
                 * (np.log1p(np.maximum(depth_map, -1.0)) - np.log1p(d_min))
                 / (np.log1p(d_max) - np.log1p(d_min))
             )
-    else:
-        raise NotImplementedError(mode)
-    mask = (idx >= 0) & (idx < num_bins) & np.isfinite(idx)
-    idx = np.clip(idx, 0, num_bins - 1)
+        else:
+            raise NotImplementedError(mode)
+    finite = np.isfinite(idx)
+    mask = finite & (idx >= 0) & (idx < num_bins)
+    # non-finite (e.g. LID sqrt of negative below d_min) clamps to the last
+    # bin, matching the reference's isfinite handling (:170-181)
+    idx = np.where(finite, np.clip(idx, 0, num_bins - 1), num_bins - 1)
     if target:
         idx = np.where(mask, idx, num_bins)  # out-of-range -> ignore bin
     return np.floor(idx).astype(np.int64), mask

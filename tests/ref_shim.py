@@ -1,0 +1,223 @@
+"""Import shim for the PyTorch reference at /root/reference.
+
+Differential parity tests import reference modules directly (CPU torch is
+installed) and A/B them against heal_tpu on random inputs. A few of the
+reference's third-party imports are absent in this environment; this shim
+installs minimal substitutes BEFORE the opencood import so the reference
+code runs unmodified:
+
+* ``icecream.ic`` — debug printer; no-op.
+* ``pyquaternion.Quaternion`` — used only on nuScenes-format paths our
+  contracts never touch; raising placeholder.
+* ``shapely.geometry.Polygon`` — the reference's polygon-IoU kernel.
+  NOT a no-op: a real convex-polygon implementation (Sutherland-Hodgman
+  clip + shoelace area) so the reference's compute_iou/nms_rotated logic
+  genuinely executes and can be A/B'd against our line-integral
+  rotated-IoU. (BEV boxes are convex, so convex-only clipping is exact.)
+* ``opencood.utils.box_overlaps`` — the reference's Cython extension
+  (uncompiled here); replaced by a numpy reimplementation of the classic
+  Fast R-CNN overlaps kernel with identical semantics.
+* ``open3d`` / ``opencood.visualization.vis_utils`` dependencies are
+  avoided by stubbing open3d (imported transitively, never called).
+
+The reference tree is imported read-only: bytecode writing is disabled so
+no __pycache__ lands in /root/reference.
+"""
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+
+
+# ---------------------------------------------------------------- shapely
+class _ShimPolygon:
+    """Convex polygon with the tiny slice of the shapely API the
+    reference uses: .area, .buffer(0), .intersection(p).area, .union."""
+
+    def __init__(self, coords):
+        pts = np.asarray(coords, dtype=np.float64)
+        if len(pts) and np.allclose(pts[0], pts[-1]):
+            pts = pts[:-1]
+        self._pts = pts
+
+    # shoelace (signed -> abs)
+    @property
+    def area(self) -> float:
+        p = self._pts
+        if len(p) < 3:
+            return 0.0
+        x, y = p[:, 0], p[:, 1]
+        return float(
+            abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))) / 2
+        )
+
+    def buffer(self, _dist):
+        return self
+
+    @property
+    def is_valid(self) -> bool:
+        return len(self._pts) >= 3
+
+    def _ccw(self):
+        p = self._pts
+        x, y = p[:, 0], p[:, 1]
+        signed = np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))
+        return p if signed >= 0 else p[::-1]
+
+    def intersection(self, other: "_ShimPolygon") -> "_ShimPolygon":
+        # Sutherland–Hodgman: clip self by each edge of (convex) other
+        subject = self._ccw()
+        clip = other._ccw()
+        out = list(subject)
+        n = len(clip)
+        for i in range(n):
+            if not out:
+                break
+            a, b = clip[i], clip[(i + 1) % n]
+            edge = np.array([b[0] - a[0], b[1] - a[1]])
+            inp, out = out, []
+            for j in range(len(inp)):
+                cur, nxt = inp[j], inp[(j + 1) % len(inp)]
+                cur_in = np.cross(edge, cur - a) >= 0
+                nxt_in = np.cross(edge, nxt - a) >= 0
+                if cur_in:
+                    out.append(cur)
+                if cur_in != nxt_in:
+                    d = nxt - cur
+                    denom = np.cross(edge, d)
+                    if abs(denom) > 1e-12:
+                        t = np.cross(edge, a - cur) / -denom
+                        out.append(cur + t * d)
+        return _ShimPolygon(np.asarray(out).reshape(-1, 2))
+
+    def union(self, other: "_ShimPolygon"):
+        # only .area is consumed; |A ∪ B| = |A| + |B| - |A ∩ B|
+        class _Area:
+            def __init__(self, a):
+                self.area = a
+
+        return _Area(
+            self.area + other.area - self.intersection(other).area
+        )
+
+
+# -------------------------------------------------------- numpy overlaps
+def _bbox_overlaps(boxes, query_boxes):
+    """Fast R-CNN style overlaps (the +1 pixel convention of the
+    reference's Cython kernel, utils/box_overlaps.pyx)."""
+    boxes = np.ascontiguousarray(boxes, dtype=np.float64)
+    query = np.ascontiguousarray(query_boxes, dtype=np.float64)
+    n, k = boxes.shape[0], query.shape[0]
+    overlaps = np.zeros((n, k), dtype=np.float64)
+    for kk in range(k):
+        qarea = (query[kk, 2] - query[kk, 0] + 1) * (
+            query[kk, 3] - query[kk, 1] + 1
+        )
+        for nn in range(n):
+            iw = (
+                min(boxes[nn, 2], query[kk, 2])
+                - max(boxes[nn, 0], query[kk, 0])
+                + 1
+            )
+            if iw <= 0:
+                continue
+            ih = (
+                min(boxes[nn, 3], query[kk, 3])
+                - max(boxes[nn, 1], query[kk, 1])
+                + 1
+            )
+            if ih <= 0:
+                continue
+            ua = (
+                (boxes[nn, 2] - boxes[nn, 0] + 1)
+                * (boxes[nn, 3] - boxes[nn, 1] + 1)
+                + qarea
+                - iw * ih
+            )
+            overlaps[nn, kk] = iw * ih / ua
+    return overlaps
+
+
+def _install_stub(name: str, **attrs) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+_installed = False
+
+
+def load_reference():
+    """Make ``opencood.*`` importable (read-only) and return the package
+    root path. Idempotent."""
+    global _installed
+    if _installed:
+        return REF_ROOT
+    sys.dont_write_bytecode = True  # never write __pycache__ into the ref
+
+    if "icecream" not in sys.modules:
+        _install_stub(
+            "icecream",
+            ic=lambda *a, **k: (a[0] if len(a) == 1 else a) or None,
+        )
+    if "pyquaternion" not in sys.modules:
+        class _NoQuaternion:  # contracts never touch quaternion paths
+            def __init__(self, *a, **k):
+                raise RuntimeError(
+                    "pyquaternion stub: not available in parity tests"
+                )
+
+        _install_stub("pyquaternion", Quaternion=_NoQuaternion)
+    if "shapely" not in sys.modules:
+        class _NoGeom:  # Point/MultiPoint: imported, not used by contracts
+            def __init__(self, *a, **k):
+                raise RuntimeError("shapely stub: only Polygon implemented")
+
+        shapely = _install_stub("shapely")
+        geometry = _install_stub(
+            "shapely.geometry",
+            Polygon=_ShimPolygon,
+            Point=_NoGeom,
+            MultiPoint=_NoGeom,
+        )
+        shapely.geometry = geometry
+    if "open3d" not in sys.modules:
+        _install_stub("open3d")
+    if "torchvision" not in sys.modules:
+        # camera_utils only needs importability of the transforms names
+        class _Normalize:
+            def __init__(self, *a, **k):
+                pass
+
+        class _Chain:
+            def __init__(self, *a, **k):
+                pass
+
+            def __call__(self, x):
+                raise RuntimeError("torchvision stub: not callable")
+
+        tv = _install_stub("torchvision")
+        tv.transforms = types.SimpleNamespace(
+            Normalize=_Normalize,
+            Compose=_Chain,
+            ToPILImage=_Chain,
+            ToTensor=_Chain,
+        )
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    # the Cython overlaps extension is not compiled here; register the
+    # numpy reimplementation under its import name BEFORE anything pulls it
+    if "opencood.utils.box_overlaps" not in sys.modules:
+        import opencood.utils  # noqa: F401  (namespace init)
+
+        _install_stub(
+            "opencood.utils.box_overlaps", bbox_overlaps=_bbox_overlaps
+        )
+    _installed = True
+    return REF_ROOT
