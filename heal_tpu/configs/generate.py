@@ -319,6 +319,335 @@ def write(cfg: dict, path: str):
         yaml.safe_dump(cfg, f, sort_keys=False)
 
 
+# ---------------------------------------------------------------------------
+# full-breadth families (mirrors the reference hypes_yaml tree: per-dataset
+# {Single, LiDAROnly, CameraOnly, MoreModality end2end, HEAL} — ref
+# hypes_yaml/{opv2v,dairv2x,v2xset,v2xsim2}/, 106 files)
+# ---------------------------------------------------------------------------
+
+# reference family name -> our fusion method key
+E2E_METHODS = {
+    "attfuse": "att",
+    "fcooper": "max",
+    "disconet": "disconet",
+    "cobevt": "cobevt",
+    "v2vnet": "v2vnet",
+    "v2xvit": "v2xvit",
+}
+
+
+def _dataset_paths(cfg, dataset):
+    if dataset == "dairv2x":
+        cfg["root_dir"] = "dataset/dairv2x/train.json"
+        cfg["validate_dir"] = "dataset/dairv2x/val.json"
+        cfg["test_dir"] = "dataset/dairv2x/val.json"
+        cfg["data_dir"] = "dataset/dairv2x"
+    elif dataset == "v2xsim":
+        cfg["root_dir"] = "dataset/v2xsim/train_infos.pkl"
+        cfg["validate_dir"] = "dataset/v2xsim/val_infos.pkl"
+        cfg["test_dir"] = "dataset/v2xsim/test_infos.pkl"
+    return cfg
+
+
+def _assignment(dataset):
+    name = "v2xset" if dataset == "v2xset" else "opv2v"
+    return f"modality_assign/{name}_4modality.json"
+
+
+def e2e_baseline_cfg(dataset, mods, method, name):
+    """End-to-end heterogeneous baseline: heter_model_baseline with the
+    given fusion (ref MoreModality/{2,3,4}_modality_end2end_training)."""
+    cfg = base_cfg(name, dataset, "intermediateheter")
+    _dataset_paths(cfg, dataset)
+    ego = mods[0]
+    mapping = {
+        k: (k if k in mods else mods[0]) for k in ("m1", "m2", "m3", "m4")
+    }
+    cfg["heter"] = heter_block(mods, ego=ego, mapping=mapping)
+    cfg["heter"]["assignment_path"] = _assignment(dataset)
+    model = heal_model(mods)
+    model["core_method"] = "heter_model_baseline"
+    model["args"].pop("fusion_backbone")
+    model["args"]["fusion_method"] = method
+    margs = {"in_channels": 64}
+    if method == "cobevt":
+        margs = {"input_dim": 64, "window_size": 8, "depth": 3}
+    if method == "v2xvit":
+        margs = {"depth": 2, "num_types": 5}
+    if method == "v2vnet":
+        margs = {"in_channels": 64, "num_iteration": 2,
+                 "agg_operator": "avg", "gru_flag": True}
+    if method == "where2comm":
+        margs = {"in_channels": 64, "threshold": 0.01}
+    model["args"][method] = margs
+    model["args"]["shrink_header"]["input_dim"] = 64
+    model["args"]["shrink_header"]["dim"] = [64]
+    model["args"]["in_head"] = 64
+    cfg["model"] = model
+    if all(modality_block(m)["sensor_type"] == "camera" for m in mods):
+        cfg["input_source"] = ["camera"]
+    elif any(modality_block(m)["sensor_type"] == "camera" for m in mods):
+        cfg["input_source"] = ["lidar", "camera"]
+    if dataset == "dairv2x":
+        cfg["train_params"]["max_cav"] = 2
+    return cfg
+
+
+def coalign_cfg(dataset, mods, name):
+    """CoAlign = multiscale attention fusion + pose-graph box alignment
+    (ref *_coalign.yaml: heter_model_baseline_ms + box_align)."""
+    cfg = base_cfg(name, dataset, "intermediateheter")
+    _dataset_paths(cfg, dataset)
+    mapping = {
+        k: (k if k in mods else mods[0]) for k in ("m1", "m2", "m3", "m4")
+    }
+    cfg["heter"] = heter_block(mods, ego=mods[0], mapping=mapping)
+    cfg["heter"]["assignment_path"] = _assignment(dataset)
+    model = heal_model(mods)
+    model["core_method"] = "heter_model_baseline_ms"
+    model["args"]["fusion_method"] = "att"
+    model["args"]["att"] = {"feat_dim": 64}
+    model["args"]["fusion_backbone"] = {
+        "layer_nums": [3, 5], "layer_strides": [1, 2],
+        "num_filters": [64, 128], "upsample_strides": [1, 2],
+        "num_upsample_filter": [128, 128],
+    }
+    model["args"]["shrink_header"]["input_dim"] = 256
+    cfg["model"] = model
+    cfg["box_align"] = {"args": {"landmark_thresh": 2.0, "iterations": 10}}
+    if "m2" in mods:
+        cfg["input_source"] = ["lidar", "camera"]
+    if dataset == "dairv2x":
+        cfg["train_params"]["max_cav"] = 2
+    return cfg
+
+
+def pyramid_cfg(dataset, mods, name, assignment=None):
+    """Pyramid-fusion collab (HEAL base) over the given modalities."""
+    cfg = base_cfg(name, dataset, "intermediateheter")
+    _dataset_paths(cfg, dataset)
+    mapping = {
+        k: (k if k in mods else mods[0]) for k in ("m1", "m2", "m3", "m4")
+    }
+    cfg["heter"] = heter_block(mods, ego=mods[0], mapping=mapping)
+    cfg["heter"]["assignment_path"] = assignment or _assignment(dataset)
+    cfg["model"] = heal_model(mods)
+    cfg["loss"] = PYRAMID_LOSS
+    if "m2" in mods:
+        cfg["input_source"] = (
+            ["camera"] if mods == ["m2"] else ["lidar", "camera"]
+        )
+    if dataset == "dairv2x":
+        cfg["train_params"]["max_cav"] = 2
+    return cfg
+
+
+def single_pretrain_cfg(dataset, m, name):
+    """Per-modality single-agent pretrain: lateheter + heter_model_late
+    (ref {opv2v,v2xset,dairv2x}/Single/*_pretrain.yaml)."""
+    cfg = base_cfg(name, dataset, "lateheter")
+    _dataset_paths(cfg, dataset)
+    cfg["heter"] = heter_block(
+        [m], ego=m, mapping={k: m for k in ("m1", "m2", "m3", "m4")}
+    )
+    cfg["heter"]["assignment_path"] = _assignment(dataset)
+    cfg["train_params"]["max_cav"] = 1
+    model = heal_model([m])
+    model["core_method"] = "heter_model_late"
+    model["args"].pop("fusion_backbone")
+    model["args"]["shrink_header"]["input_dim"] = 64
+    model["args"]["shrink_header"]["dim"] = [64]
+    model["args"]["in_head"] = 64
+    cfg["model"] = model
+    if m == "m2":
+        cfg["input_source"] = ["camera"]
+    return cfg
+
+
+def emit_full_breadth(out_dir: str):
+    """The family grid beyond the hand-curated configs in main()."""
+    # ---- opv2v LiDAROnly coalign
+    write(
+        coalign_cfg("opv2v", ["m1"], "opv2v_lidar_coalign"),
+        f"{out_dir}/opv2v/lidar_only/coalign.yaml",
+    )
+    # ---- opv2v CameraOnly (all-m2 alliances, every fusion family)
+    for ref_name, method in E2E_METHODS.items():
+        write(
+            e2e_baseline_cfg(
+                "opv2v", ["m2"], method, f"opv2v_camera_{ref_name}"
+            ),
+            f"{out_dir}/opv2v/camera_only/{ref_name}.yaml",
+        )
+    write(
+        coalign_cfg("opv2v", ["m2"], "opv2v_camera_coalign"),
+        f"{out_dir}/opv2v/camera_only/coalign.yaml",
+    )
+    # ---- opv2v Single per-modality pretrains
+    for m in ("m1", "m2", "m3", "m4"):
+        write(
+            single_pretrain_cfg("opv2v", m, f"opv2v_single_{m}_pretrain"),
+            f"{out_dir}/opv2v/single/{m}_pretrain.yaml",
+        )
+    # ---- opv2v MoreModality end2end grids
+    for mods in (["m1", "m2"], ["m1", "m2", "m3"],
+                 ["m1", "m2", "m3", "m4"]):
+        tag = "".join(mods)
+        for ref_name, method in E2E_METHODS.items():
+            path = f"{out_dir}/opv2v/more_modality/{tag}_{ref_name}.yaml"
+            alias = f"{out_dir}/opv2v/more_modality/{tag}_{method}.yaml"
+            if os.path.exists(alias):  # hand-curated earlier
+                continue
+            write(
+                e2e_baseline_cfg(
+                    "opv2v", mods, method, f"opv2v_{tag}_{ref_name}"
+                ),
+                path,
+            )
+        write(
+            coalign_cfg("opv2v", mods, f"opv2v_{tag}_coalign"),
+            f"{out_dir}/opv2v/more_modality/{tag}_coalign.yaml",
+        )
+    write(
+        pyramid_cfg("opv2v", ["m1", "m2"], "opv2v_m1m2_pyramid"),
+        f"{out_dir}/opv2v/more_modality/m1m2_pyramid.yaml",
+    )
+    # ---- opv2v HEAL: stage-1 bases for every modality + stage-2 m1
+    for m in ("m2", "m3", "m4"):
+        cfg = pyramid_cfg("opv2v", [m], f"Pyramid_{m}_base")
+        write(cfg, f"{out_dir}/opv2v/heal/stage1/{m}_pyramid.yaml")
+    cfg = base_cfg("Pyramid_m1_single", "opv2v", "intermediateheter")
+    cfg["heter"] = heter_block(
+        ["m1"], ego="m1", mapping={k: "m1" for k in ("m1", "m2", "m3", "m4")}
+    )
+    cfg["train_params"]["max_cav"] = 1
+    cfg["model"] = heal_model(["m1"], supervise_single=False, collab=False)
+    cfg["loss"] = PYRAMID_LOSS
+    write(cfg, f"{out_dir}/opv2v/heal/stage2/m1_alignto_m1.yaml")
+
+    # ---- dairv2x: Single + LiDAROnly + CameraOnly + MoreModality + HEAL
+    for m, fname in (("m1", "m1"), ("m2", "m2_lss"), ("m3", "m3_second")):
+        write(
+            single_pretrain_cfg("dairv2x", m, f"dair_single_{fname}"),
+            f"{out_dir}/dairv2x/single/{fname}.yaml",
+        )
+    for ref_name, method in E2E_METHODS.items():
+        write(
+            e2e_baseline_cfg(
+                "dairv2x", ["m1"], method, f"dair_lidar_{ref_name}"
+            ),
+            f"{out_dir}/dairv2x/lidar_only/{ref_name}.yaml",
+        )
+        write(
+            e2e_baseline_cfg(
+                "dairv2x", ["m2"], method, f"dair_camera_{ref_name}"
+            ),
+            f"{out_dir}/dairv2x/camera_only/{ref_name}.yaml",
+        )
+        write(
+            e2e_baseline_cfg(
+                "dairv2x", ["m1", "m2"], method,
+                f"dair_lidar_camera_{ref_name}",
+            ),
+            f"{out_dir}/dairv2x/more_modality/m1m2_{ref_name}.yaml",
+        )
+    write(
+        coalign_cfg("dairv2x", ["m1"], "dair_lidar_coalign"),
+        f"{out_dir}/dairv2x/lidar_only/coalign.yaml",
+    )
+    write(
+        coalign_cfg("dairv2x", ["m2"], "dair_camera_coalign"),
+        f"{out_dir}/dairv2x/camera_only/coalign.yaml",
+    )
+    write(
+        coalign_cfg("dairv2x", ["m1", "m2"], "dair_m1m2_coalign"),
+        f"{out_dir}/dairv2x/more_modality/m1m2_coalign.yaml",
+    )
+    write(
+        pyramid_cfg("dairv2x", ["m2"], "dair_camera_pyramid"),
+        f"{out_dir}/dairv2x/camera_only/pyramid.yaml",
+    )
+    write(
+        pyramid_cfg("dairv2x", ["m1", "m2"], "dair_m1m2_pyramid"),
+        f"{out_dir}/dairv2x/more_modality/m1m2_pyramid.yaml",
+    )
+    # HEAL on DAIR: stage2 per type + final m1m2
+    for m in ("m2", "m3", "m4"):
+        cfg = base_cfg(
+            f"dair_{m}_single_pyramid", "dairv2x", "intermediateheter"
+        )
+        _dataset_paths(cfg, "dairv2x")
+        cfg["heter"] = heter_block(
+            [m], ego=m, mapping={k: m for k in ("m1", "m2", "m3", "m4")}
+        )
+        cfg["train_params"]["max_cav"] = 1
+        cfg["model"] = heal_model([m], supervise_single=False, collab=False)
+        cfg["loss"] = PYRAMID_LOSS
+        if m == "m2":
+            cfg["input_source"] = ["camera"]
+        write(cfg, f"{out_dir}/dairv2x/heal/stage2/{m}_single_pyramid.yaml")
+    write(
+        pyramid_cfg("dairv2x", ["m1", "m2"], "dair_final_m1m2"),
+        f"{out_dir}/dairv2x/heal/final_infer/m1m2.yaml",
+    )
+
+    # ---- v2xset breadth
+    for m in ("m1", "m2", "m3", "m4"):
+        write(
+            single_pretrain_cfg("v2xset", m, f"v2xset_single_{m}_pretrain"),
+            f"{out_dir}/v2xset/single/{m}_pretrain.yaml",
+        )
+    for ref_name, method in E2E_METHODS.items():
+        if method in ("max", "att"):
+            continue  # hand-curated plain intermediate variants exist
+        write(
+            e2e_baseline_cfg(
+                "v2xset", ["m1"], method, f"v2xset_lidar_{ref_name}"
+            ),
+            f"{out_dir}/v2xset/lidar_only/{ref_name}.yaml",
+        )
+    write(
+        coalign_cfg("v2xset", ["m1"], "v2xset_lidar_coalign"),
+        f"{out_dir}/v2xset/lidar_only/coalign.yaml",
+    )
+    write(
+        pyramid_cfg("v2xset", ["m2"], "v2xset_camera_pyramid"),
+        f"{out_dir}/v2xset/camera_only/pyramid.yaml",
+    )
+    write(
+        coalign_cfg("v2xset", ["m2"], "v2xset_camera_coalign"),
+        f"{out_dir}/v2xset/camera_only/coalign.yaml",
+    )
+    for m in ("m2", "m3", "m4"):
+        cfg = base_cfg(
+            f"v2xset_{m}_single_pyramid", "v2xset", "intermediateheter"
+        )
+        cfg["heter"] = heter_block(
+            [m], ego=m, mapping={k: m for k in ("m1", "m2", "m3", "m4")}
+        )
+        cfg["heter"]["assignment_path"] = _assignment("v2xset")
+        cfg["train_params"]["max_cav"] = 1
+        cfg["model"] = heal_model([m], supervise_single=False, collab=False)
+        cfg["loss"] = PYRAMID_LOSS
+        if m == "m2":
+            cfg["input_source"] = ["camera"]
+        write(cfg, f"{out_dir}/v2xset/heal/stage2/{m}_single_pyramid.yaml")
+
+    # ---- v2xsim breadth
+    write(
+        single_pretrain_cfg("v2xsim", "m1", "v2xsim_single_m1"),
+        f"{out_dir}/v2xsim/single/m1.yaml",
+    )
+    for ref_name, method in (("attfuse", "att"), ("cobevt", "cobevt"),
+                             ("disconet", "disconet")):
+        cfg = base_cfg(
+            f"v2xsim_point_pillar_{ref_name}", "v2xsim", "intermediate"
+        )
+        _dataset_paths(cfg, "v2xsim")
+        cfg["model"] = pp_model(method)
+        write(cfg, f"{out_dir}/v2xsim/lidar_only/{ref_name}.yaml")
+
+
 def main(out_dir: str):
     # ---- opv2v homogeneous PointPillars family
     for method in (
@@ -586,7 +915,60 @@ def main(out_dir: str):
     cfg["input_source"] = ["lidar", "camera"]
     write(cfg, f"{out_dir}/v2xset/heal/final_infer/m1m2m3m4.yaml")
 
+    emit_full_breadth(out_dir)
+    emit_assignments(out_dir)
     print(f"config corpus written under {out_dir}")
+
+
+def emit_assignments(out_dir: str, ref_root: str = "/root/reference"):
+    """Ship modality_assign/*.json (ref modality_assign/: 4 maps).
+
+    Skeleton (scenario names + cav ids — public dataset folder structure)
+    comes from the reference dumps when available, else from any dataset
+    tree the caller points at via generate_modality_assignment. The
+    RANDOM assignment values are drawn with our own seeded RNG (the
+    reference's values come from its own seed and are reproducible from
+    its generator; drop its JSON into assignment_path for exact-match
+    eval). The in-order variant is fully determined by the protocol rule
+    (cav k -> m(k % 4 + 1), heter_utils.py:124-157).
+    """
+    import json
+
+    import numpy as np
+
+    dst = os.path.join(out_dir, "modality_assign")
+    os.makedirs(dst, exist_ok=True)
+    for dataset in ("opv2v", "v2xset"):
+        for variant in ("", "_in_order"):
+            src = os.path.join(
+                ref_root,
+                "opencood",
+                "modality_assign",
+                f"{dataset}_4modality{variant}.json",
+            )
+            if not os.path.exists(src):
+                continue
+            with open(src) as f:
+                skeleton = json.load(f)
+            rng = np.random.default_rng(303)
+            out = {}
+            for scen in sorted(skeleton):
+                out[scen] = {}
+                cavs = sorted(skeleton[scen], key=str)
+                if variant:
+                    # -1 (infrastructure) goes last, as in the reference
+                    if cavs and cavs[0] == "-1":
+                        cavs = cavs[1:] + cavs[:1]
+                    for k, cav in enumerate(cavs):
+                        out[scen][cav] = f"m{k % 4 + 1}"
+                else:
+                    perm = rng.permutation(4) + 1
+                    for k, cav in enumerate(cavs):
+                        out[scen][cav] = f"m{perm[k % 4]}"
+            with open(
+                os.path.join(dst, f"{dataset}_4modality{variant}.json"), "w"
+            ) as f:
+                json.dump(out, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,16 @@ class Adaptor:
         self.train = train
         path = heter_cfg.get("assignment_path")
         self.assignment = {}
+        if path and not os.path.exists(path):
+            # shipped maps: resolve "modality_assign/x.json" against the
+            # packaged configs dir (ref keeps them in opencood/logs/...)
+            shipped = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "configs",
+                path,
+            )
+            if os.path.exists(shipped):
+                path = shipped
         if path and os.path.exists(path):
             with open(path) as f:
                 self.assignment = json.load(f)

@@ -224,6 +224,7 @@ class TestRealCameraIngest:
         hits = raw["imgs"][0][v[ok], u[ok], 2]
         assert (hits > 200).mean() > 0.9
 
+    @pytest.mark.slow
     def test_train_step_on_real_images(self, tmp_path):
         import jax
 
@@ -251,6 +252,7 @@ class TestRealCameraIngest:
 
 
 class TestHeterM1M2:
+    @pytest.mark.slow
     def test_two_modality_train_step(self):
         import jax
 

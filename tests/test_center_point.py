@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from heal_tpu.config import load_yaml
 
@@ -45,6 +46,7 @@ class TestCenterTargets:
 
 
 class TestCenterPointTrain:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         import jax
 

@@ -26,12 +26,66 @@ class TestCorpus:
             "opv2v/heal/stage2",
             "opv2v/heal/final_infer",
             "opv2v/more_modality",
-            "v2xset",
-            "dairv2x",
-            "v2xsim",
+            "v2xset/single",
+            "v2xset/lidar_only",
+            "v2xset/camera_only",
+            "v2xset/heal/stage1",
+            "v2xset/heal/stage2",
+            "v2xset/heal/final_infer",
+            "dairv2x/single",
+            "dairv2x/lidar_only",
+            "dairv2x/camera_only",
+            "dairv2x/more_modality",
+            "dairv2x/heal/stage2",
+            "dairv2x/heal/final_infer",
+            "v2xsim/single",
+            "v2xsim/lidar_only",
         ):
             assert any(r.startswith(family) for r in rels), family
-        assert len(ALL_YAMLS) >= 38
+        # full reference breadth: hypes_yaml ships 106 experiment yamls
+        assert len(ALL_YAMLS) >= 106, len(ALL_YAMLS)
+
+    def test_assignment_jsons_shipped(self):
+        """modality_assign maps (ref modality_assign/: random + in_order
+        per dataset) ship with the corpus and follow the protocol rules."""
+        import json
+
+        d = os.path.join(CFG_ROOT, "modality_assign")
+        for name in (
+            "opv2v_4modality.json",
+            "opv2v_4modality_in_order.json",
+            "v2xset_4modality.json",
+            "v2xset_4modality_in_order.json",
+        ):
+            with open(os.path.join(d, name)) as f:
+                m = json.load(f)
+            assert len(m) > 0
+            for scen, cavs in m.items():
+                mods = list(cavs.values())
+                assert all(v in ("m1", "m2", "m3", "m4") for v in mods)
+                if "in_order" in name:
+                    # protocol: k-th agent gets m(k%4+1)
+                    want = [f"m{k % 4 + 1}" for k in range(len(mods))]
+                    got = [
+                        cavs[c]
+                        for c in sorted(
+                            cavs,
+                            key=lambda c: (c == "-1", str(c)),
+                        )
+                    ]
+                    assert got == want, (name, scen)
+
+    def test_assignment_resolves_from_config_path(self):
+        """The relative assignment_path written into shipped configs
+        resolves against the packaged configs dir."""
+        from heal_tpu.data.opv2v import Adaptor
+
+        heter = {
+            "modality_setting": {"m1": {}, "m2": {}},
+            "assignment_path": "modality_assign/opv2v_4modality.json",
+        }
+        ad = Adaptor(heter, train=False)
+        assert len(ad.assignment) >= 60
 
     @pytest.mark.parametrize(
         "path", ALL_YAMLS, ids=[os.path.basename(p) for p in ALL_YAMLS]

@@ -2,6 +2,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from heal_tpu.config import load_yaml
 
@@ -9,6 +10,7 @@ CFG_DIR = os.path.join(os.path.dirname(__file__), "configs")
 
 
 class TestHeterBaseline:
+    @pytest.mark.slow
     def test_m1m2_baseline_train_step(self):
         import jax
 
@@ -138,6 +140,7 @@ class TestCenterPointVariants:
 
 
 class TestAlignerBackends:
+    @pytest.mark.slow
     def test_all_backends_shape_and_grad(self):
         import jax
         import jax.numpy as jnp

@@ -246,6 +246,7 @@ class TestColumnEngine:
 
 
 class TestSecondEncoder:
+    @pytest.mark.slow
     def test_forward_shape(self):
         import jax
         import jax.numpy as jnp

@@ -33,6 +33,7 @@ def make_trainer(cfg):
 
 
 class TestIntermediateBaseline:
+    @pytest.mark.slow
     def test_overfit_one_batch(self):
         from heal_tpu.config import load_yaml
 
@@ -47,6 +48,7 @@ class TestIntermediateBaseline:
 
 
 class TestHeterCollab:
+    @pytest.mark.slow
     def test_forward_and_step(self):
         from heal_tpu.config import load_yaml
 
@@ -80,6 +82,7 @@ class TestHeterCollab:
 
 
 class TestDeviceBatchCache:
+    @pytest.mark.slow
     def test_cached_epochs_match_streaming_semantics(self, tmp_path):
         """train_params.cache_device_batches trains to the same kind of
         convergence as the streaming path and leaves a resumable run dir

@@ -71,6 +71,7 @@ class TestPointOps:
 
 
 class TestMatcher:
+    @pytest.mark.slow
     def test_cross_agent_cluster_fusion(self):
         import jax.numpy as jnp
 
@@ -115,6 +116,7 @@ class TestMatcher:
 
 
 class TestCiaSSD:
+    @pytest.mark.slow
     def test_forward_and_loss(self):
         import jax
         import jax.numpy as jnp

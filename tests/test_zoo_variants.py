@@ -105,6 +105,7 @@ class TestSecondSSFA:
         "norm": "batch",
     }
 
+    @pytest.mark.slow
     def test_forward_iou_branch(self):
         rng = np.random.default_rng(3)
         import jax.numpy as jnp
