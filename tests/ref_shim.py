@@ -189,6 +189,41 @@ def load_reference():
         shapely.geometry = geometry
     if "open3d" not in sys.modules:
         _install_stub("open3d")
+    if "termcolor" not in sys.modules:
+        _install_stub("termcolor", colored=lambda s, *a, **k: s)
+    if "spconv" not in sys.modules:
+        # imported at module level by sparse_backbone_3d; the m1
+        # (PointPillars) model paths never construct these
+        class _NoSparse:
+            def __init__(self, *a, **k):
+                raise RuntimeError("spconv stub: not available")
+
+        names = dict(
+            SparseSequential=_NoSparse,
+            SubMConv3d=_NoSparse,
+            SparseConv3d=_NoSparse,
+            SparseInverseConv3d=_NoSparse,
+            SparseConvTensor=_NoSparse,
+        )
+        spconv = _install_stub("spconv", **names)
+        spconv.pytorch = _install_stub("spconv.pytorch", **names)
+    if "timm" not in sys.modules:
+        class _NoDropPath:  # only constructed by the SDTA aligner
+            def __init__(self, *a, **k):
+                raise RuntimeError("timm stub: DropPath unavailable")
+
+        timm = _install_stub("timm")
+        timm_models = _install_stub("timm.models")
+        layers = _install_stub("timm.models.layers", DropPath=_NoDropPath)
+        timm_models.layers = layers
+        timm.models = timm_models
+    if "efficientnet_pytorch" not in sys.modules:
+        class _NoEffNet:
+            @classmethod
+            def from_pretrained(cls, *a, **k):
+                raise RuntimeError("efficientnet stub: not available")
+
+        _install_stub("efficientnet_pytorch", EfficientNet=_NoEffNet)
     if "torchvision" not in sys.modules:
         # camera_utils only needs importability of the transforms names
         class _Normalize:
@@ -202,6 +237,9 @@ def load_reference():
             def __call__(self, x):
                 raise RuntimeError("torchvision stub: not callable")
 
+        def _no_resnet(*a, **k):
+            raise RuntimeError("torchvision stub: resnet101 unavailable")
+
         tv = _install_stub("torchvision")
         tv.transforms = types.SimpleNamespace(
             Normalize=_Normalize,
@@ -209,6 +247,11 @@ def load_reference():
             ToPILImage=_Chain,
             ToTensor=_Chain,
         )
+        resnet_mod = _install_stub(
+            "torchvision.models.resnet", resnet101=_no_resnet
+        )
+        models_mod = _install_stub("torchvision.models", resnet=resnet_mod)
+        tv.models = models_mod
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     # the Cython overlaps extension is not compiled here; register the
