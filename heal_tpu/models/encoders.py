@@ -394,9 +394,11 @@ class PointPillarEncoder(nn.Module):
             # interpreter off-TPU (testing via HEAL_TPU_FORCE_PALLAS)
             interpret=jax.default_backend() != "tpu",
         )
-        # cells are monotone (gap rows duplicate the previous real cell
-        # with zero values), so the expand is a SORTED scatter-add
-        canvas = jnp.zeros((s_total, f), u.dtype).at[cells_tab[:, 0]].add(
+        # cells are monotone and every duplicate row carries an identical
+        # (cell, value) payload (the kernel forward-fills gap rows with
+        # the previous run's final value), so the expand is a SORTED
+        # scatter-SET: pure writes, no read-modify-add
+        canvas = jnp.zeros((s_total, f), u.dtype).at[cells_tab[:, 0]].set(
             vals.astype(u.dtype), indices_are_sorted=True, mode="drop"
         )
         canvas = canvas.reshape(b, cells, -1)[:, : nx * ny]

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -40,18 +41,43 @@ class Norm(nn.Module):
     momentum: float | None = None  # None -> the global default
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, tile: int = 1):
+        """tile > 1: x carries `tile` width-phases packed into channels
+        (see pack_width); the (C,) norm params apply per logical channel."""
         if self.kind == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train,
-                momentum=(
+            c = x.shape[-1] // tile
+            scale = self.param("scale", nn.initializers.ones, (c,))
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            ra_mean = self.variable(
+                "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+            )
+            ra_var = self.variable(
+                "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+            )
+            if train:
+                assert tile == 1, "packed layout is eval-only"
+                xf = x.astype(jnp.float32)
+                axes = tuple(range(x.ndim - 1))
+                m = jnp.mean(xf, axis=axes)
+                v = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(m)
+                mom = (
                     self.momentum
                     if self.momentum is not None
                     else _BN_MOMENTUM
-                ),
-                epsilon=1e-3,
-            )(x)
+                )
+                if not self.is_initializing():
+                    ra_mean.value = mom * ra_mean.value + (1 - mom) * m
+                    ra_var.value = mom * ra_var.value + (1 - mom) * v
+            else:
+                m, v = ra_mean.value, ra_var.value
+            mul = scale * jax.lax.rsqrt(v.astype(scale.dtype) + 1e-3)
+            add = bias - m.astype(scale.dtype) * mul
+            if tile > 1:
+                mul = jnp.tile(mul, tile)
+                add = jnp.tile(add, tile)
+            return (x * mul + add).astype(x.dtype)
         if self.kind == "group":
+            assert tile == 1, "group norm is not packed-layout aware"
             groups = min(32, x.shape[-1])
             while x.shape[-1] % groups != 0:
                 groups //= 2
@@ -59,6 +85,55 @@ class Norm(nn.Module):
         if self.kind == "none":
             return x
         raise ValueError(f"unknown norm kind {self.kind!r}")
+
+
+def pack_width(x):
+    """(N, H, W, C) -> (N, H, W/2, 2C): adjacent column pairs packed into
+    channels (channel p*C + c holds column phase p). 64-channel BEV convs
+    run ~6x under MXU peak on v5e (half-empty lanes); packed at 128
+    channels the same math runs at full tile occupancy."""
+    n, h, w, c = x.shape
+    return x.reshape(n, h, w // 2, 2 * c)
+
+
+def unpack_width(x):
+    n, h, wb, c2 = x.shape
+    return x.reshape(n, h, wb * 2, c2 // 2)
+
+
+def s2d_conv_kernel(k, stride: int):
+    """Transform an HWIO conv kernel to operate on width-packed layout.
+
+    Returns (k2 (kh, bw, 2*cin, 2*cout), w_pad (lo, hi)) such that a
+    conv_general_dilated over the packed input with stride
+    (stride, stride) and width padding w_pad equals the original SAME
+    conv (even H, W), with the output again width-packed.
+    """
+    kh, kw, cin, cout = k.shape
+    pad_low = (kw - 1) // 2 if stride == 1 else 0  # XLA SAME, even size
+    taps = []
+    for p in (0, 1):
+        for v in range(kw):
+            t = stride * p + v - pad_low
+            taps.append((t // 2, t % 2, p, v))
+    bo_min = min(t[0] for t in taps)
+    bo_max = max(t[0] for t in taps)
+    bw = bo_max - bo_min + 1
+    k2 = jnp.zeros((kh, bw, 2 * cin, 2 * cout), k.dtype)
+    for bo, pi, p, v in taps:
+        k2 = k2.at[
+            :,
+            bo - bo_min,
+            pi * cin : (pi + 1) * cin,
+            p * cout : (p + 1) * cout,
+        ].add(k[:, v])
+    # width padding on the block axis: cover block index range used by
+    # the first/last output block
+    if stride == 1:
+        w_pad = (-bo_min, bo_max)
+    else:
+        w_pad = (max(-bo_min, 0), max(bo_max - 1, 0))
+    return k2, w_pad
 
 
 class ConvNormAct(nn.Module):
@@ -72,19 +147,50 @@ class ConvNormAct(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        pad = self.padding if isinstance(self.padding, str) else [
-            (self.padding, self.padding)
-        ] * 2
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=pad,
-            feature_group_count=self.groups,
-            use_bias=self.use_bias,
-        )(x)
-        x = Norm(self.norm)(x, train)
+    def __call__(self, x, train: bool = False, s2d: bool = False):
+        cin = x.shape[-1] // (2 if s2d else 1)
+        kern = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin // self.groups, self.features),
+        )
+        kern = kern.astype(x.dtype)
+        if s2d:
+            assert self.groups == 1 and self.padding == "SAME"
+            k2, w_pad = s2d_conv_kernel(kern, self.stride)
+            if self.kernel == 1:
+                h_pad = (0, 0)
+            else:
+                h_pad = (
+                    ((self.kernel - 1) // 2,) * 2
+                    if self.stride == 1
+                    else (0, 1)
+                )
+            x = jax.lax.conv_general_dilated(
+                x,
+                k2,
+                (self.stride, self.stride),
+                [h_pad, w_pad],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            pad = self.padding if isinstance(self.padding, str) else [
+                (self.padding, self.padding)
+            ] * 2
+            x = jax.lax.conv_general_dilated(
+                x,
+                kern,
+                (self.stride, self.stride),
+                pad,
+                feature_group_count=self.groups,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        if self.use_bias:
+            b = self.param(
+                "conv_bias", nn.initializers.zeros, (self.features,)
+            ).astype(x.dtype)
+            x = x + (jnp.tile(b, 2) if s2d else b)
+        x = Norm(self.norm)(x, train, tile=2 if s2d else 1)
         return nn.relu(x) if self.act else x
 
 
@@ -120,18 +226,19 @@ class BasicBlock(nn.Module):
     norm: str = "batch"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
+        cin = x.shape[-1] // (2 if s2d else 1)
         identity = x
         out = ConvNormAct(
             self.planes, 3, self.stride, groups=self.groups, norm=self.norm
-        )(x, train)
+        )(x, train, s2d=s2d)
         out = ConvNormAct(
             self.planes, 3, 1, groups=self.groups, norm=self.norm, act=False
-        )(out, train)
-        if self.stride != 1 or x.shape[-1] != self.planes:
+        )(out, train, s2d=s2d)
+        if self.stride != 1 or cin != self.planes:
             identity = ConvNormAct(
                 self.planes, 1, self.stride, norm=self.norm, act=False
-            )(x, train)
+            )(x, train, s2d=s2d)
         return nn.relu(out + identity)
 
 
@@ -153,20 +260,21 @@ class BottleneckX(nn.Module):
     norm: str = "batch"
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, s2d: bool = False):
         width = int(self.planes * (self.width_per_group / 64.0)) * 32
+        cin = x.shape[-1] // (2 if s2d else 1)
         identity = x
-        out = ConvNormAct(width, 1, 1, norm=self.norm)(x, train)
+        out = ConvNormAct(width, 1, 1, norm=self.norm)(x, train, s2d=s2d)
         out = ConvNormAct(
             width, 3, self.stride, groups=self.groups, norm=self.norm
-        )(out, train)
+        )(out, train, s2d=s2d)
         out = ConvNormAct(self.planes, 1, 1, norm=self.norm, act=False)(
-            out, train
+            out, train, s2d=s2d
         )
-        if self.stride != 1 or x.shape[-1] != self.planes:
+        if self.stride != 1 or cin != self.planes:
             identity = ConvNormAct(
                 self.planes, 1, self.stride, norm=self.norm, act=False
-            )(x, train)
+            )(x, train, s2d=s2d)
         return nn.relu(out + identity)
 
 
@@ -183,6 +291,27 @@ class ResNetStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import os
+
+        # width-packed eval on TPU: 64-channel BEV convs run ~6x under
+        # MXU peak (half-empty lanes, measured on v5e); packing adjacent
+        # column pairs into channels runs the same math at 128 wide.
+        # Exact weight transform (s2d_conv_kernel); eval-only, batch/none
+        # norm only (group-norm statistics are layout-dependent).
+        s2d = (
+            not train
+            and self.planes <= 64
+            and self.groups == 1
+            and self.norm in ("batch", "none")
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+            and (
+                jax.default_backend() == "tpu"
+                or os.environ.get("HEAL_TPU_FORCE_S2D") == "1"
+            )
+        )
+        if s2d:
+            x = pack_width(x)
         for i in range(self.blocks):
             stride = self.stride if i == 0 else 1
             if self.bottleneck_x:
@@ -191,11 +320,13 @@ class ResNetStage(nn.Module):
                     stride=stride,
                     width_per_group=self.width_per_group,
                     norm=self.norm,
-                )(x, train)
+                )(x, train, s2d=s2d)
             else:
                 x = BasicBlock(
                     self.planes, stride=stride, groups=self.groups, norm=self.norm
-                )(x, train)
+                )(x, train, s2d=s2d)
+        if s2d:
+            x = unpack_width(x)
         return x
 
 

@@ -61,6 +61,8 @@ def _kernel(
     cells_ref,  # (P, 8) int32 out: cell id per row (sentinel = OOB)
     carry_u,  # VMEM (1, F) f32
     carry_g,  # VMEM (1, 4) f32
+    carry_cell,  # VMEM (1, 8) f32: cell of the last finished run
+    carry_vals,  # VMEM (1, F) f32: its final value row
 ):
     pid = pl.program_id(0)
     p, f = u_ref.shape
@@ -69,6 +71,10 @@ def _kernel(
     def _():
         carry_u[:] = jnp.full((1, f), NEG, jnp.float32)
         carry_g[:] = jnp.zeros((1, 4), jnp.float32)
+        # before any run finishes, gap rows point one cell below the
+        # global minimum cell (an untouched canvas row; dropped if < 0)
+        carry_cell[:] = jnp.full((1, 8), cellf_ref[0, 0] - 1.0, jnp.float32)
+        carry_vals[:] = jnp.zeros((1, f), jnp.float32)
 
     rel = cidx_ref[:] - cidx_ref[0:1, :]  # (P, 1) int32, 0..P-1
     ends = ends_ref[:]  # (P, 1) int32
@@ -112,9 +118,15 @@ def _kernel(
     # truncation; the CELL ID columns (> 2^8) and the f32 run sums must
     # place exactly — a full-width HIGHEST dot would cost 6 f32 MXU
     # passes over all F lanes, so the exact columns ride a narrow dot
+    # bf16 inputs: the scanned maxima stay exactly bf16-representable, so
+    # placement (one nonzero per output row) is exact in a bf16 MXU pass
+    # and 4x cheaper than f32; f32 inputs keep the f32 pass
+    place_dt = (
+        jnp.bfloat16 if u_ref.dtype == jnp.bfloat16 else jnp.float32
+    )
     placed = jnp.dot(
-        onehot,
-        u,
+        onehot.astype(place_dt),
+        u.astype(place_dt),
         preferred_element_type=jnp.float32,
     )
     meta = jnp.concatenate(
@@ -161,22 +173,44 @@ def _kernel(
                   precision=jax.lax.Precision.HIGHEST)
         + b_aff
     )
-    vals_ref[:] = jnp.where(
-        has, jnp.maximum(pu + tb, 0.0), 0.0
-    ).astype(vals_ref.dtype)
-    # rows with no finished run get the PREVIOUS real row's cell id (a
-    # max-scan fill) and a zero value: the cells column stays globally
-    # monotone, so the expansion onto the canvas (canvas_expand below, or
-    # an XLA ``.at[].add``) treats them as harmless duplicate adds of 0
-    # floor at the block's first point cell (covers rows before the first
-    # finished run; Mosaic-friendly single-axis broadcasts)
-    filled = jnp.maximum(jnp.where(has, pcell, NEG), cellf_ref[0:1, :])
-    filled = jnp.broadcast_to(filled, (p, 8))
+    final_vals = jnp.where(has, jnp.maximum(pu + tb, 0.0), 0.0)
+
+    # rows with no finished run replicate the PREVIOUS real row's
+    # (cell, VALUE) pair — a joint forward fill. Every output row then
+    # carries a consistent (cell, value): duplicates are bit-identical,
+    # so the canvas expansion can be a pure scatter-SET (write-only, no
+    # read-modify-add) with any tie order, and the cells column stays
+    # globally monotone (sorted-scatter fast path). Rows before the
+    # first finished run anywhere take the carry from the previous block
+    # (or the sub-minimum init cell with zero values in block 0).
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (p, 8), 0).astype(
+        jnp.float32
+    )
+    # meta8 lanes: [0]=tag (row index of last finished run, -1 = none),
+    # [1]=cell; values ride a parallel (P, F) array selected by the same
+    # key (lane-aligned shapes keep Mosaic's layout passes happy)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (p, 8), 1)
+    tag8 = jnp.where(has, row_ids, -1.0)
+    meta8 = jnp.where(col8 == 0, tag8, jnp.where(col8 == 1, pcell, 0.0))
+    payf = final_vals
     d = 1
     while d < p:
-        filled = jnp.maximum(filled, _shift_down(filled, d, NEG))
+        s8 = _shift_down(meta8, d, -1.0)
+        sf = _shift_down(payf, d, 0.0)
+        take = s8[:, 0:1] > meta8[:, 0:1]
+        meta8 = jnp.where(take, s8, meta8)
+        payf = jnp.where(take, sf, payf)
         d *= 2
-    cells_ref[:] = (filled + 0.5).astype(jnp.int32)
+    none_yet = meta8[:, 0:1] < 0.0
+    cellcol = jnp.where(none_yet, carry_cell[:, 0:1], meta8[:, 1:2])
+    payf = jnp.where(none_yet, carry_vals[:], payf)
+    carry_cell[:] = jnp.broadcast_to(cellcol[p - 1 : p], (1, 8))
+    carry_vals[:] = payf[p - 1 : p]
+
+    vals_ref[:] = payf.astype(vals_ref.dtype)
+    cells_ref[:] = jnp.broadcast_to(cellcol + 0.5, (p, 8)).astype(
+        jnp.int32
+    )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -223,6 +257,8 @@ def pillar_tables(
         scratch_shapes=[
             pltpu.VMEM((1, f), jnp.float32),
             pltpu.VMEM((1, 4), jnp.float32),
+            pltpu.VMEM((1, 8), jnp.float32),
+            pltpu.VMEM((1, f), jnp.float32),
         ],
         interpret=interpret,
     )(

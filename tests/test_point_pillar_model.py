@@ -295,3 +295,58 @@ class TestFusedEncoderEquivalence:
             want_mean,
             atol=2e-4,
         )
+
+
+class TestS2DConvEquivalence:
+    """Width-packed (space-to-depth) eval conv path == the plain path
+    (layers.py s2d_conv_kernel; TPU serving lowering, forced on CPU via
+    HEAL_TPU_FORCE_S2D)."""
+
+    def test_stage_equivalence_all_variants(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.models.layers import ResNetStage
+
+        rng = np.random.default_rng(0)
+        for bx, stride in [(False, 1), (False, 2), (True, 1), (True, 2)]:
+            x = jnp.asarray(rng.normal(0, 1, (2, 32, 48, 64)), jnp.float32)
+            st = ResNetStage(planes=64, blocks=2, stride=stride,
+                             bottleneck_x=bx, width_per_group=2,
+                             norm="batch")
+            v = st.init(jax.random.PRNGKey(0), x, True)
+            v = jax.tree.map(lambda a: a + 0.1 if a.ndim == 1 else a, v)
+            ref = st.apply(v, x, False)
+            monkeypatch.setenv("HEAL_TPU_FORCE_S2D", "1")
+            out = st.apply(v, x, False)
+            monkeypatch.delenv("HEAL_TPU_FORCE_S2D")
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(out), atol=1e-4,
+                err_msg=f"bx={bx} stride={stride}",
+            )
+
+    def test_train_path_unaffected(self):
+        """s2d never activates in training (batch stats must see the
+        true layout)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import os
+        from heal_tpu.models.layers import ResNetStage
+
+        os.environ["HEAL_TPU_FORCE_S2D"] = "1"
+        try:
+            x = jnp.asarray(
+                np.random.default_rng(1).normal(0, 1, (2, 16, 24, 64)),
+                jnp.float32,
+            )
+            st = ResNetStage(planes=64, blocks=1, norm="batch")
+            v = st.init(jax.random.PRNGKey(0), x, True)
+            out, mut = st.apply(v, x, True, mutable=["batch_stats"])
+            stats = jax.tree.leaves(mut["batch_stats"])
+            assert all(s.shape == (64,) for s in stats)
+            assert np.isfinite(np.asarray(out)).all()
+        finally:
+            del os.environ["HEAL_TPU_FORCE_S2D"]
