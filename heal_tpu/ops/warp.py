@@ -152,8 +152,6 @@ def affine_warp_shear(src: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     r = int(np.ceil(np.sqrt(h * h + w * w) / 2.0))
     side = 2 * r + 4
     cy, cx = (side - h) // 2, (side - w) // 2
-    canvas = jnp.zeros((side, side, c), src.dtype)
-    canvas = jax.lax.dynamic_update_slice(canvas, src, (cy, cx, 0))
 
     # pixel-space rotation angle + translation (undo aspect factors)
     theta = jnp.arctan2(M[1, 0] * h / w, M[0, 0])
@@ -164,15 +162,25 @@ def affine_warp_shear(src: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     k = jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32)
     theta_r = theta - k.astype(jnp.float32) * (jnp.pi / 2)
     km = jnp.mod(k, 4)
-    # decomposed 90-deg rotation: under vmap a lax.switch would execute
-    # ALL four rot90 branches per agent; flip180 is an elementwise
-    # reversed read (no relayout) and only one real rot90 remains
+    # decomposed 90-deg rotation applied on the SMALL source: the embed
+    # is center-symmetric, so flip/rot of the canvas equals embedding the
+    # flipped/rotated source — a (h, w, c) reverse/transpose instead of a
+    # (side, side, c) one (~5x fewer bytes; reverses showed up as ~2.5
+    # ms/frame of pure relayout in the serve trace). Under vmap a
+    # lax.switch would run all four rot90 branches, so: one elementwise
+    # flip180 select + one real rot90 select.
     flip180 = (km == 2) | (km == 3)
-    canvas = jnp.where(flip180, canvas[::-1, ::-1, :], canvas)
     do90 = (km == 1) | (km == 3)
-    canvas = jnp.where(
-        do90, jnp.rot90(canvas, k=1, axes=(0, 1)), canvas
+    src0 = jnp.where(flip180, src[::-1, ::-1, :], src)
+    src_t = jnp.rot90(src0, k=1, axes=(0, 1))  # (w, h, c)
+    canvas0 = jax.lax.dynamic_update_slice(
+        jnp.zeros((side, side, c), src.dtype), src0, (cy, cx, 0)
     )
+    cy_t, cx_t = (side - w) // 2, (side - h) // 2
+    canvas_t = jax.lax.dynamic_update_slice(
+        jnp.zeros((side, side, c), src.dtype), src_t, (cy_t, cx_t, 0)
+    )
+    canvas = jnp.where(do90, canvas_t, canvas0)
     # t' = R(-k pi/2) t
     ck = jnp.cos(-k.astype(jnp.float32) * jnp.pi / 2)
     sk = jnp.sin(-k.astype(jnp.float32) * jnp.pi / 2)

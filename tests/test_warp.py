@@ -97,6 +97,65 @@ class TestSkipEgo:
         assert np.abs(np.asarray(skip) - np.asarray(full)).max() > 0.1
 
 
+class TestShearWarp:
+    """affine_warp_shear vs the exact gather warp.
+
+    The shear path embeds the source into a rotation canvas and now
+    applies the decomposed 90-deg flips/rot on the SMALL source before
+    embedding (the embed is center-symmetric, so both orders agree) —
+    this pins that equivalence across all four 90-deg sectors.
+    """
+
+    def _M(self, theta, h, w, tx=0.12, ty=-0.07):
+        import numpy as np
+
+        c, s = np.cos(theta), np.sin(theta)
+        return np.asarray(
+            [[c, -s * h / w, tx], [s * w / h, c, ty]], np.float32
+        )
+
+    def test_interior_matches_exact_on_smooth_image(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.ops.warp import affine_warp, affine_warp_shear
+
+        h, w = 64, 96
+        yy, xx = np.meshgrid(
+            np.linspace(0, 1, h), np.linspace(0, 1, w), indexing="ij"
+        )
+        src = jnp.asarray(
+            np.stack(
+                [np.sin(4 * xx + 2 * yy), np.cos(3 * yy - 5 * xx)], -1
+            ).astype(np.float32)
+        )
+        # one angle per 90-deg sector (exercises all flip/rot branches)
+        for theta in (0.3, np.pi / 2 + 0.2, np.pi + 0.35, -np.pi / 2 - 0.1):
+            M = jnp.asarray(self._M(theta, h, w))
+            a = np.asarray(affine_warp_shear(src, M))
+            b = np.asarray(affine_warp(src, M))
+            d = np.abs(a - b)[6:-6, 6:-6]
+            assert np.isfinite(a).all()
+            # separable-interpolation-order agreement in the interior
+            assert d.mean() < 2e-2 and d.max() < 0.5, (theta, d.max())
+
+    def test_exact_at_axis_rotations(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.ops.warp import affine_warp, affine_warp_shear
+
+        h, w = 32, 48
+        src = jnp.asarray(
+            np.random.default_rng(3).normal(size=(h, w, 2)).astype(np.float32)
+        )
+        for k in range(4):
+            M = jnp.asarray(self._M(k * np.pi / 2, h, w, 0.0, 0.0))
+            a = np.asarray(affine_warp_shear(src, M))
+            b = np.asarray(affine_warp(src, M))
+            np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 class TestShiftRowsMatmul:
     def test_matches_dynamic_slice_fallback(self):
         import jax.numpy as jnp
