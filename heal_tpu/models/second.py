@@ -89,7 +89,10 @@ class SecondStack(nn.Module):
         grid = cols.pop("grid")
         # first layer consumes raw-coordinate mean features -> stays f32
         # even under bf16 serving (bf16 ULP at |x|~51 m is 0.25 m)
-        table = cc.column_table(dict(cols, grid=grid))
+        # one dense rank map per level feeds the level's subm table AND
+        # the strided table into the next level
+        dmap = cc.rank_map(dict(cols, grid=grid))
+        table = cc.column_table(dict(cols, grid=grid), dmap=dmap)
         cols = ColumnConvLayer(
             self.channels[0], precise_input=True, name="conv_input"
         )(cols, grid, table=table, train=train)
@@ -98,14 +101,17 @@ class SecondStack(nn.Module):
                 dict(cols, grid=grid), self.max_voxels[si]
             )
             out_grid = out_cols.pop("grid")
-            st = cc.strided_table(dict(cols, grid=grid), out_cols)
+            st = cc.strided_table(
+                dict(cols, grid=grid), out_cols, dmap=dmap
+            )
             cols = ColumnConvLayer(
                 self.channels[si], strided=True, name=f"down_{si}"
             )(cols, grid, out=out_cols, out_grid=out_grid, table=st,
               train=train)
             grid = out_grid
             # the two submanifold convs of this stage share one table
-            table = cc.column_table(dict(cols, grid=grid))
+            dmap = cc.rank_map(dict(cols, grid=grid))
+            table = cc.column_table(dict(cols, grid=grid), dmap=dmap)
             for j in range(2):
                 cols = ColumnConvLayer(
                     self.channels[si], name=f"stage{si}_subm{j}"

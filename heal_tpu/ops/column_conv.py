@@ -13,8 +13,14 @@ this engine keeps the z axis DENSE and is sparse only over BEV columns:
     ``feats`` (Vc, Z, C) with z dense, and a per-voxel occupancy mask
     ``occ`` (Vc, Z);
   * a 3x3x3 conv needs only NINE neighbor lookups (dy, dx) — ~10x fewer
-    sorted-key searches than the voxel engine — and each gather moves a
-    contiguous (Z, C) row, which the HBM likes;
+    key lookups than the voxel engine — and each gather moves one FLAT
+    (Z*C,) row: gathering (Vc, Z, C) sub-arrays makes XLA move tiny
+    (Z, C) tiles (measured 2x slower in bf16 and 7x in f32 on v5e than
+    the same bytes as lane-aligned flat rows);
+  * neighbor ranks come from a dense (H*W,) rank MAP (scatter each
+    column's rank to its cell, read 9 cells) built once per resolution
+    level and shared by every conv at that level — 2.5x faster than the
+    sorted-key searchsorted it replaces, with zero sorts;
   * the z part of the stencil is three dense shifts folded into ONE
     (Vc*Z, 3*Cin) @ (3*Cin, Cout) MXU GEMM per (dy, dx) offset;
   * submanifold semantics stay EXACT: inactive voxels hold zeros and
@@ -128,15 +134,36 @@ def voxelize_columns(points, mask, lidar_range, voxel_size, max_cols):
     }
 
 
-def column_table(cols):
-    """(Vc, 9) neighbor-column indices for the 3x3 BEV stencil; miss = Vc.
+def rank_map(cols):
+    """Dense (H*W + 1,) int32 map: 2D cell key -> column rank; miss = Vc.
 
-    One batched sort-method searchsorted over all 9 offsets' queries —
-    the 2D analogue of sparse_conv.neighbor_table, over ~10x fewer keys.
+    Built once per resolution level and shared by column_table AND
+    strided_table at that level (plus the strided table of the NEXT
+    level, which queries this level's columns). The trailing dump slot
+    absorbs invalid-column writes; lookups must mask out-of-range
+    queries themselves (the tables do).
     """
-    ckeys, coords2, cvalid = cols["ckeys"], cols["coords2"], cols["cvalid"]
+    ckeys, cvalid = cols["ckeys"], cols["cvalid"]
     _, h, w = cols["grid"]
     vc = ckeys.shape[0]
+    kk = jnp.where(cvalid, ckeys, h * w)
+    dmap = jnp.full((h * w + 1,), vc, jnp.int32)
+    return dmap.at[kk].set(
+        jnp.arange(vc, dtype=jnp.int32), mode="drop"
+    )
+
+
+def column_table(cols, dmap=None):
+    """(Vc, 9) neighbor-column indices for the 3x3 BEV stencil; miss = Vc.
+
+    Nine O(1) reads of the level's dense rank map — the 2D analogue of
+    sparse_conv.neighbor_table without any sorted-key search.
+    """
+    if dmap is None:
+        dmap = rank_map(cols)
+    coords2, cvalid = cols["coords2"], cols["cvalid"]
+    _, h, w = cols["grid"]
+    vc = cols["ckeys"].shape[0]
     offs = jnp.asarray(_offsets2d(), jnp.int32)  # (9, 2)
     ny_ = coords2[:, None, 0] + offs[None, :, 0]
     nx_ = coords2[:, None, 1] + offs[None, :, 1]
@@ -145,11 +172,8 @@ def column_table(cols):
         & (ny_ >= 0) & (ny_ < h)
         & (nx_ >= 0) & (nx_ < w)
     )
-    nk = ny_ * w + nx_
-    pos = jnp.searchsorted(ckeys, nk.reshape(-1), method="sort")
-    pos = jnp.clip(pos, 0, vc - 1).reshape(vc, 9)
-    found = okq & (ckeys[pos] == nk)
-    return jnp.where(found, pos, vc)
+    nk = jnp.where(okq, ny_ * w + nx_, 0)
+    return jnp.where(okq, jnp.take(dmap, nk), vc)
 
 
 def _zstack(g):
@@ -173,12 +197,12 @@ def subm_conv(cols, weights, table=None, bias=None):
     cout = weights.shape[-1]
     wdt = feats.dtype
     blocks = _regroup_weights(weights.astype(wdt))
-    fpad = jnp.concatenate(
-        [feats, jnp.zeros((1, z, cin), wdt)], axis=0
-    )
+    # gather FLAT (Z*C,) rows — lane-aligned HBM moves (see module doc)
+    flat = feats.reshape(vc, z * cin)
+    fpad = jnp.concatenate([flat, jnp.zeros((1, z * cin), wdt)], axis=0)
     out = jnp.zeros((vc, z, cout), wdt)
     for j in range(9):
-        g = jnp.take(fpad, table[:, j], axis=0)  # (Vc, Z, Cin)
+        g = jnp.take(fpad, table[:, j], axis=0).reshape(vc, z, cin)
         gg = _zstack(g).reshape(vc * z, 3 * cin)
         out = out + jnp.dot(
             gg, blocks[j], preferred_element_type=wdt
@@ -191,60 +215,60 @@ def subm_conv(cols, weights, table=None, bias=None):
 def downsample_columns(cols, max_out):
     """spconv SparseConv3d(k=3, s=2, p=1) output COLUMN generation.
 
-    2D analogue of sparse_conv.downsample_sites: each input column
-    contributes to <= 4 candidate output columns; sort-dedup to capacity
-    ``max_out``. Any active input voxel implies >= 1 active output voxel
-    in the candidate column (the stride-2 k=3 p=1 z-windows cover all
-    z), so the 2D rule yields exactly spconv's active column set.
+    2D analogue of sparse_conv.downsample_sites: output column (oy, ox)
+    is active iff ANY active input column lies in its 3x3 stride-2
+    input window — the adjoint of the candidate-scatter rule, computed
+    sort-free as a dense max reduce_window over the input occupancy
+    image, then cumsum-compacted in key order (so ckeys come out sorted
+    exactly like the scatter-dedup it replaces). Any active input voxel
+    implies >= 1 active output voxel in the candidate column (the
+    stride-2 k=3 p=1 z-windows cover all z), so the 2D rule yields
+    exactly spconv's active column set.
     """
-    coords2, cvalid = cols["coords2"], cols["cvalid"]
+    ckeys, cvalid = cols["ckeys"], cols["cvalid"]
     z, h, w = cols["grid"]
     z2 = (z + 2 - 3) // 2 + 1
     h2 = (h + 2 - 3) // 2 + 1
     w2 = (w + 2 - 3) // 2 + 1
-    cand = []
-    for by in (0, 1):
-        for bx in (0, 1):
-            oy = (coords2[:, 0] + 1) // 2 - by
-            ox = (coords2[:, 1] + 1) // 2 - bx
-            okc = (
-                cvalid
-                & (oy >= 0) & (oy < h2)
-                & (ox >= 0) & (ox < w2)
-                & (coords2[:, 0] >= 2 * oy - 1)
-                & (coords2[:, 0] <= 2 * oy + 1)
-                & (coords2[:, 1] >= 2 * ox - 1)
-                & (coords2[:, 1] <= 2 * ox + 1)
-            )
-            cand.append(jnp.where(okc, oy * w2 + ox, INVALID))
-    cand = jnp.sort(jnp.concatenate(cand))
-    head = jnp.concatenate(
-        [jnp.ones(1, bool), cand[1:] != cand[:-1]]
-    ) & (cand != INVALID)
-    rank = jnp.minimum(jnp.cumsum(head.astype(jnp.int32)) - 1, max_out)
-    ckeys = jnp.full((max_out,), INVALID, jnp.int32)
-    ckeys = ckeys.at[jnp.where(head, rank, max_out)].set(
-        jnp.where(head, cand, INVALID), mode="drop"
+    kk = jnp.where(cvalid, ckeys, h * w)
+    occ2d = jnp.zeros((h * w + 1,), jnp.int8).at[kk].set(
+        1, mode="drop"
+    )[: h * w].reshape(h, w)
+    act = jax.lax.reduce_window(
+        occ2d, jnp.int8(0), jax.lax.max,
+        window_dimensions=(3, 3), window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+    ).reshape(-1)  # (h2*w2,) in key order
+    mask = act > 0
+    rank = jnp.minimum(jnp.cumsum(mask.astype(jnp.int32)) - 1, max_out)
+    cell = jnp.arange(h2 * w2, dtype=jnp.int32)
+    ckeys_o = jnp.full((max_out,), INVALID, jnp.int32)
+    ckeys_o = ckeys_o.at[jnp.where(mask, rank, max_out)].set(
+        jnp.where(mask, cell, INVALID), mode="drop"
     )
-    cvalid_o = ckeys != INVALID
-    kk = jnp.where(cvalid_o, ckeys, 0)
-    coords2_o = jnp.stack([kk // w2, kk % w2], axis=1).astype(jnp.int32)
+    cvalid_o = ckeys_o != INVALID
+    kko = jnp.where(cvalid_o, ckeys_o, 0)
+    coords2_o = jnp.stack([kko // w2, kko % w2], axis=1).astype(jnp.int32)
     return {
-        "ckeys": ckeys,
+        "ckeys": ckeys_o,
         "coords2": jnp.where(cvalid_o[:, None], coords2_o, 0),
         "cvalid": cvalid_o,
         "grid": (z2, h2, w2),
     }
 
 
-def strided_table(cols, out_cols):
+def strided_table(cols, out_cols, dmap=None):
     """(O, 9) input-column indices for the strided conv: output column o
-    reads input column (2*oy + dy, 2*ox + dx) per 2D offset; miss = Vc."""
-    ckeys, cvalid = cols["ckeys"], cols["cvalid"]
+    reads input column (2*oy + dy, 2*ox + dx) per 2D offset; miss = Vc.
+
+    ``dmap`` is the INPUT level's rank_map (shared with column_table)."""
+    if dmap is None:
+        dmap = rank_map(cols)
+    cvalid = cols["cvalid"]
     _, h, w = cols["grid"]
     oc = out_cols["coords2"]
     ovalid = out_cols["cvalid"]
-    vc = ckeys.shape[0]
+    vc = cols["ckeys"].shape[0]
     offs = jnp.asarray(_offsets2d(), jnp.int32)
     cy = 2 * oc[:, None, 0] + offs[None, :, 0]
     cx = 2 * oc[:, None, 1] + offs[None, :, 1]
@@ -253,11 +277,8 @@ def strided_table(cols, out_cols):
         & (cy >= 0) & (cy < h)
         & (cx >= 0) & (cx < w)
     )
-    nk = cy * w + cx
-    pos = jnp.searchsorted(ckeys, nk.reshape(-1), method="sort")
-    pos = jnp.clip(pos, 0, vc - 1).reshape(oc.shape[0], 9)
-    found = okq & (ckeys[pos] == nk)
-    return jnp.where(found, pos, vc)
+    nk = jnp.where(okq, cy * w + cx, 0)
+    return jnp.where(okq, jnp.take(dmap, nk), vc)
 
 
 def _zwindows(g, z2):
@@ -287,19 +308,25 @@ def strided_conv(cols, out_cols, weights, table=None, bias=None):
     cout = weights.shape[-1]
     wdt = feats.dtype
     blocks = _regroup_weights(weights.astype(wdt))
-    fpad = jnp.concatenate([feats, jnp.zeros((1, z, cin), wdt)], axis=0)
-    opad = jnp.concatenate(
-        [occ, jnp.zeros((1, z), bool)], axis=0
-    ).astype(jnp.int8)
+    # ONE flat gather per offset moves feats AND occupancy: occ rides as
+    # an extra Z lanes appended to the (Z*C,) feature row (a separate
+    # (Z,)-row occ gather would be latency-bound on 20-byte moves)
+    flat = jnp.concatenate(
+        [feats.reshape(vc, z * cin), occ.astype(wdt)], axis=1
+    )
+    fpad = jnp.concatenate(
+        [flat, jnp.zeros((1, z * cin + z), wdt)], axis=0
+    )
     out = jnp.zeros((o, z2, cout), wdt)
-    occ_o = jnp.zeros((o, z2), jnp.int8)
+    occ_o = jnp.zeros((o, z2), wdt)
     for j in range(9):
-        g = jnp.take(fpad, table[:, j], axis=0)  # (O, Z, Cin)
+        row = jnp.take(fpad, table[:, j], axis=0)  # (O, Z*Cin + Z)
+        g = row[:, : z * cin].reshape(o, z, cin)
         gg = _zwindows(g, z2).reshape(o * z2, 3 * cin)
         out = out + jnp.dot(
             gg, blocks[j], preferred_element_type=wdt
         ).reshape(o, z2, cout)
-        go = jnp.take(opad, table[:, j], axis=0)[..., None]  # (O, Z, 1)
+        go = row[:, z * cin:][..., None]  # (O, Z, 1)
         occ_o = jnp.maximum(
             occ_o, _zwindows(go, z2).max(axis=-1)
         )
