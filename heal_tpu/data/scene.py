@@ -324,6 +324,14 @@ class IntermediateAssembler:
         ds = setting.get("img_downsample", 16)
         fh, fw = ih // ds, iw // ds
 
+        depth_vals = cam_utils.depth_discretization(
+            d_min, d_max, n_bins, gc["mode"]
+        )
+        _, _, g_nx = cam_utils.gen_dx_bx(
+            gc["xbound"], gc["ybound"], gc["zbound"]
+        )
+        cells = int(g_nx[0]) * int(g_nx[1])
+        n_pts = ncam * fh * fw * n_bins
         out = {
             "imgs": np.zeros((L, ncam, ih, iw, 3), np.float32),
             "intrins": np.tile(np.eye(3, dtype=np.float32), (L, ncam, 1, 1)),
@@ -332,6 +340,18 @@ class IntermediateAssembler:
             "post_rots": np.tile(np.eye(3, dtype=np.float32), (L, ncam, 1, 1)),
             "post_trans": np.zeros((L, ncam, 3), np.float32),
             "depth_bins": np.full((L, ncam, fh, fw), n_bins, np.int32),
+            # host-presorted splat plans (utils/camera): the W-matrix
+            # plan serves the sum-pool splat, the flat plan the max
+            # pool; padded agent slots keep every point on the dump cell
+            "splat_ids": np.full((L, n_pts), cells, np.int32),
+            "splat_widx": np.zeros((L, n_pts), np.int32),
+            "splat_cell": np.full(
+                (L, ncam * fh * fw, n_bins), cells, np.int32
+            ),
+            "splat_dperm": np.tile(
+                np.arange(n_bins, dtype=np.int32),
+                (L, ncam * fh * fw, 1),
+            ),
         }
         for j, slot in enumerate(entries):
             agent = scene["agents"][keep[slot]]
@@ -405,6 +425,22 @@ class IntermediateAssembler:
             if "post_rots" in cams:
                 out["post_rots"][j] = cams["post_rots"]
                 out["post_trans"][j] = cams["post_trans"]
+            # splat plans from the FINAL calibration (aug folded in)
+            out["splat_ids"][j], out["splat_widx"][j] = (
+                cam_utils.frustum_splat_plan(
+                    out["rots"][j], out["trans"][j], out["intrins"][j],
+                    out["post_rots"][j], out["post_trans"][j],
+                    depth_vals, ih, iw, ds, gc,
+                )
+            )
+            out["splat_cell"][j], out["splat_dperm"][j] = (
+                cam_utils.frustum_splat_matrix_plan(
+                    out["rots"][j], out["trans"][j], out["intrins"][j],
+                    out["post_rots"][j], out["post_trans"][j],
+                    depth_vals, ih, iw, ds, gc,
+                    flat_plan=(out["splat_ids"][j], out["splat_widx"][j]),
+                )
+            )
             # depth supervision from the agent's (simulated or real) lidar,
             # rendered in FINAL image pixels: fold the aug homography into
             # the intrinsics (u' = post_rot[:2,:2] @ u + post_tran[:2])

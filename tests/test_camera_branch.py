@@ -124,6 +124,106 @@ class TestLSSGeometry:
         assert abs(p[0] - dv[5]) < 1.5  # x ahead approximately the depth
         assert abs(p[2] - 1.9) < 1.0  # near camera height
 
+    @pytest.mark.parametrize("pool", ["sum", "max"])
+    def test_presorted_splat_matches_device_path(self, pool):
+        """The host splat plan (utils/camera.frustum_splat_plan) must
+        reproduce the device geometry+argsort splat exactly: same BEV
+        canvas from the same depth probs / features."""
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.models.lift_splat_shoot import LiftSplatShootEncoder
+        from heal_tpu.utils.camera import (
+            default_camera_rig,
+            default_intrinsics,
+            depth_discretization,
+            frustum_splat_plan,
+        )
+
+        gc = {
+            "xbound": [-38.4, 38.4, 1.2],
+            "ybound": [-38.4, 38.4, 1.2],
+            "zbound": [-10, 10, 20.0],
+            "ddiscr": [2, 30, 16],
+            "mode": "LID",
+        }
+        args = {
+            "grid_conf": gc,
+            "data_aug_conf": {"final_dim": [128, 192]},
+            "img_downsample": 16,
+            "img_features": 8,
+            "pool": pool,
+        }
+        enc = LiftSplatShootEncoder(args=args)
+        rng = np.random.default_rng(0)
+        ncam = 3
+        rig = default_camera_rig(ncam)
+        K = default_intrinsics(128, 192)
+        rots = np.stack([r for r, _ in rig]).astype(np.float32)
+        trans = np.stack([t for _, t in rig]).astype(np.float32)
+        # non-trivial aug homography on one camera
+        post_rots = np.tile(np.eye(3, dtype=np.float32), (ncam, 1, 1))
+        post_trans = np.zeros((ncam, 3), np.float32)
+        post_rots[1, 0, 0] = 1.1
+        post_trans[1, :2] = [3.0, -2.0]
+        intrins = np.tile(K.astype(np.float32), (ncam, 1, 1))
+        imgs = rng.normal(0, 1, (1, ncam, 128, 192, 3)).astype(np.float32)
+
+        base = {
+            "imgs": jnp.asarray(imgs),
+            "rots": jnp.asarray(rots)[None],
+            "trans": jnp.asarray(trans)[None],
+            "intrins": jnp.asarray(intrins)[None],
+            "post_rots": jnp.asarray(post_rots)[None],
+            "post_trans": jnp.asarray(post_trans)[None],
+        }
+        var = enc.init(jax.random.PRNGKey(0), base, train=False)
+        bev_dev, _ = enc.apply(var, base, train=False)
+
+        dv = depth_discretization(2, 30, 16, "LID")
+        ids, widx = frustum_splat_plan(
+            rots, trans, intrins, post_rots, post_trans,
+            dv, 128, 192, 16, gc,
+        )
+        with_plan = dict(
+            base,
+            splat_ids=jnp.asarray(ids)[None],
+            splat_widx=jnp.asarray(widx)[None],
+        )
+        bev_pre, _ = enc.apply(var, with_plan, train=False)
+        np.testing.assert_allclose(
+            np.asarray(bev_dev), np.asarray(bev_pre), rtol=2e-5, atol=2e-5
+        )
+        # the plan puts something in-range (non-degenerate fixture)
+        cells = 64 * 64
+        assert (ids < cells).sum() > 1000
+
+        # W-matrix form (sum pool only): same canvas again
+        if pool == "sum":
+            from heal_tpu.utils.camera import frustum_splat_matrix_plan
+
+            cellmap, dperm = frustum_splat_matrix_plan(
+                rots, trans, intrins, post_rots, post_trans,
+                dv, 128, 192, 16, gc, flat_plan=(ids, widx),
+            )
+            # flat keys globally sorted (the device scatter contract)
+            pixs = cellmap.shape[0]
+            keys = (
+                cellmap.astype(np.int64)
+                + np.arange(pixs, dtype=np.int64)[:, None] * (cells + 1)
+            ).reshape(-1)
+            assert (np.diff(keys) >= 0).all()
+            with_mat = dict(
+                base,
+                splat_cell=jnp.asarray(cellmap)[None],
+                splat_dperm=jnp.asarray(dperm)[None],
+            )
+            bev_mat, _ = enc.apply(var, with_mat, train=False)
+            np.testing.assert_allclose(
+                np.asarray(bev_dev), np.asarray(bev_mat),
+                rtol=2e-5, atol=2e-5,
+            )
+
 
 class TestRealCameraIngest:
     """File-backed camera path: pngs + yaml calib -> packed LSS inputs."""

@@ -104,3 +104,57 @@ class TestHealProtocol:
         save_yaml(final_cfg, os.path.join(merged, "config.yaml"))
         result = run_inference(merged, max_batches=2)
         assert "ap_50" in result
+
+    def test_four_modality_protocol(self, tmp_path):
+        """Tiny twin of the FLAGSHIP demo (configs/demo_heal_full/):
+        stage-2 SECOND (m3) and 16-line-pillars (m4) branches trained
+        against the frozen m1 base, three-way merge, and merged
+        m1+m2+m3+m4 alliance inference (ref hypes_yaml/opv2v/HEAL +
+        inference_heter_in_order protocol)."""
+        from heal_tpu.config import load_yaml, save_yaml
+        from heal_tpu.tools import checkpoint as ck
+        from heal_tpu.tools.inference import run_inference
+        from heal_tpu.tools.merge import merge_final
+        from heal_tpu.tools.train import main as train_main
+
+        stage1 = str(tmp_path / "stage1")
+        train_main(
+            ["-y", os.path.join(CFG_DIR, "entry_tiny.yaml"),
+             "--model_dir", stage1, "--epochs", "1",
+             "--no_final_inference"]
+        )
+        _, s1_path = ck.find_checkpoint(stage1)
+        s1 = ck.load_checkpoint(s1_path)
+
+        stage_dirs = []
+        for m in ("m2", "m3", "m4"):
+            d = str(tmp_path / f"stage2_{m}")
+            train_main(
+                ["-y", os.path.join(CFG_DIR, f"entry_{m}_single.yaml"),
+                 "--model_dir", d, "--epochs", "1",
+                 "--no_final_inference", "--init_from", s1_path]
+            )
+            _, sp = ck.find_checkpoint(d)
+            s = ck.load_checkpoint(sp)
+            assert f"branch_{m}" in s["params"], m
+            # base stayed frozen in every stage-2 leg
+            f1 = flat_leaves(s1["params"]["pyramid_backbone"])
+            f2 = flat_leaves(s["params"]["pyramid_backbone"])
+            for k in f1:
+                np.testing.assert_array_equal(f1[k], f2[k], err_msg=k)
+            stage_dirs.append(d)
+
+        merged = str(tmp_path / "merged4")
+        merge_final(stage_dirs, stage1, merged)
+        m = ck.load_checkpoint(
+            os.path.join(merged, "net_epoch_bestval_at0.ckpt")
+        )
+        for b in ("branch_m1", "branch_m2", "branch_m3", "branch_m4"):
+            assert b in m["params"], b
+
+        final_cfg = load_yaml(
+            os.path.join(CFG_DIR, "entry_m1m2m3m4_final.yaml")
+        )
+        save_yaml(final_cfg, os.path.join(merged, "config.yaml"))
+        result = run_inference(merged, max_batches=2)
+        assert "ap_50" in result
