@@ -113,18 +113,27 @@ def main(out_dir=None):
     stage1["name"] = "heal_demo_full_m1_base"
     stage1["train_params"]["max_cav"] = 4
     stage1["train_params"]["batch_size"] = 2
-    stage1["fusion"]["args"].update(num_agents=4, num_vehicles=14)
+    stage1["fusion"]["args"].update(
+        num_agents=4, num_vehicles=14,
+        # 384 cached batches of 4-agent 256x256 targets fit HBM next to
+        # the train step; 512 would not
+        num_scenes_train=384, num_scenes_test=48,
+    )
     _write(stage1, out_dir, "stage1_m1")
 
     m2 = _rescale(_load("stage2_m2"))
     m2["name"] = "heal_demo_full_m2_single"
-    m2["fusion"]["args"]["num_vehicles"] = 14
+    m2["fusion"]["args"].update(
+        num_vehicles=14, num_scenes_train=384, num_scenes_test=48
+    )
     m2["train_params"]["batch_size"] = 2
     _write(m2, out_dir, "stage2_m2")
 
     m3 = _rescale(_load("stage2_m3"))
     m3["name"] = "heal_demo_full_m3_single"
-    m3["fusion"]["args"]["num_vehicles"] = 14
+    m3["fusion"]["args"].update(
+        num_vehicles=14, num_scenes_train=384, num_scenes_test=48
+    )
     m3["train_params"]["batch_size"] = 2
     _write(m3, out_dir, "stage2_m3")
 
@@ -144,7 +153,10 @@ def main(out_dir=None):
     final["heter"]["modality_setting"]["m4"] = copy.deepcopy(
         stage1["heter"]["modality_setting"]["m1"]
     )
-    final["fusion"]["args"].update(num_agents=4, num_vehicles=14)
+    final["fusion"]["args"].update(
+        num_agents=4, num_vehicles=14,
+        num_scenes_train=384, num_scenes_test=48,
+    )
     fm = final["model"]["args"]
     fm["m4"] = copy.deepcopy(m4["model"]["args"]["m4"])
     _write(final, out_dir, "final_m1m2m3m4")

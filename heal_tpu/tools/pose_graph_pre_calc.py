@@ -33,7 +33,12 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = load_yaml("", model_dir=args.model_dir)
-    cfg["fusion"]["core_method"] = "late"  # single-agent forwards
+    # heter_* models consume the intermediate assembler's packed-modality
+    # batch contract (inputs_mX/slots_mX/agent_mask); plain detectors take
+    # raw padded point batches via the late-fusion layout
+    heter = cfg["model"]["core_method"].startswith("heter")
+    if not heter:
+        cfg["fusion"]["core_method"] = "late"  # single-agent forwards
     dataset = build_dataset(cfg, train=False)
     model = build_model(cfg["model"])
     _, path = ckpt_lib.find_checkpoint(args.model_dir)
@@ -77,6 +82,23 @@ def main(argv=None):
         msk[: len(p)] = True
         return pts, msk
 
+    # heter path: each agent becomes a 1-agent scene (the agent is its own
+    # ego) run through the dataset's assembler, so detections land in the
+    # agent's own frame exactly like the raw-point path. The stage-1
+    # detector is single-modality; every agent's raw points go through it
+    # regardless of the alliance's nominal modality assignment.
+    base_modality = dataset.modalities[0] if heter else None
+
+    def heter_batch(agent, objects):
+        one = {
+            "agents": [dict(agent, modality=base_modality)],
+            "objects": objects,
+        }
+        from ..data.scene import collate
+
+        sample = dataset.assembler.assemble(one)
+        return jax.tree.map(jnp.asarray, collate([sample], tuple(dataset.modalities)))
+
     results = {}
     for idx in range(len(dataset.backend)):
         if args.max_frames and idx >= args.max_frames:
@@ -84,11 +106,14 @@ def main(argv=None):
         scene = dataset.backend.scene(idx)
         per_agent = []
         for agent in scene["agents"]:
-            pts, msk = agent_frame(agent)
-            jb = {
-                "points": jnp.asarray(pts)[None],
-                "point_mask": jnp.asarray(msk)[None],
-            }
+            if heter:
+                jb = heter_batch(agent, scene["objects"])
+            else:
+                pts, msk = agent_frame(agent)
+                jb = {
+                    "points": jnp.asarray(pts)[None],
+                    "point_mask": jnp.asarray(msk)[None],
+                }
             out = infer(jb)
             det = post_process_single(
                 out["cls_preds"][0],

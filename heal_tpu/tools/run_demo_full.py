@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import time
 
 CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "demo_heal_full")
@@ -25,8 +26,34 @@ CFG = os.path.join(os.path.dirname(__file__), "..", "configs", "demo_heal_full")
 def _ckpt(d):
     from . import checkpoint as ck
 
+    if not os.path.isdir(d):
+        return None
     _, path = ck.find_checkpoint(d)
     return path
+
+
+def _trained(d, epochs_override=None):
+    """True when the run dir holds a checkpoint at the configured final
+    epoch — a mid-run checkpoint means "resume", not "done"."""
+    from . import checkpoint as ck
+    from ..config import load_yaml
+
+    if not os.path.isdir(d):
+        return False
+    # find_checkpoint prefers bestval (often < final epoch); completion is
+    # judged on the highest numbered epoch checkpoint
+    eps = [
+        int(m.group(1))
+        for m in (
+            re.fullmatch(r"net_epoch(\d+)\.ckpt", n) for n in os.listdir(d)
+        )
+        if m
+    ]
+    if not eps:
+        return False
+    cfg = load_yaml("", model_dir=d)
+    want = epochs_override or cfg["train_params"]["epoches"]
+    return max(eps) >= want
 
 
 def main(argv=None):
@@ -51,7 +78,7 @@ def main(argv=None):
 
     # ---- stage 1: m1 collaboration base
     stage1 = os.path.join(args.out, "stage1_m1")
-    if not _ckpt(stage1):
+    if not _trained(stage1, args.stage1_epochs):
         log("stage 1: training m1 base")
         argv1 = ["-y", os.path.join(CFG, "stage1_m1.yaml"),
                  "--model_dir", stage1, "--no_final_inference"]
@@ -65,7 +92,7 @@ def main(argv=None):
     stage2_dirs = []
     for m in ("m2", "m3", "m4"):
         d = os.path.join(args.out, f"stage2_{m}")
-        if not _ckpt(d):
+        if not _trained(d, args.stage2_epochs):
             log(f"stage 2: training {m} single against frozen base")
             argv2 = ["-y", os.path.join(CFG, f"stage2_{m}.yaml"),
                      "--model_dir", d, "--no_final_inference",
