@@ -77,7 +77,8 @@ class CenterPointBaseline(nn.Module):
         flat_p = points.reshape((b * l,) + points.shape[2:])
         flat_m = pmask.reshape((b * l,) + pmask.shape[2:])
         bev = _encoder(a, norm)(flat_p, flat_m, train)
-        feat = _backbone_from_args(a, norm)(bev, train)
+        backbone = _backbone_from_args(a, norm)
+        feat = backbone(bev, train)
         shrink = _shrink_from_args(a, norm)
         if shrink is not None:
             feat = shrink(feat, train)
@@ -96,13 +97,20 @@ class CenterPointBaseline(nn.Module):
             conf = jax.nn.sigmoid(single["cls_preds"])
             if a.get("supervise_single", False):
                 extra = {f"{k}_single": v for k, v in single.items()}
-            fused, comm_rate = build_fusion(method, fargs)(
-                feat,
-                batch["pairwise_affine"],
-                batch["agent_mask"],
-                train,
-                confidence=conf.reshape((b, l) + conf.shape[1:]),
-            )
+            if fargs.get("multi_scale"):
+                fused, comm_rate = self._multiscale_where2comm(
+                    backbone, bev, conf, fargs, batch, b, l, train
+                )
+                if shrink is not None:
+                    fused = shrink(fused, train)
+            else:
+                fused, comm_rate = build_fusion(method, fargs)(
+                    feat,
+                    batch["pairwise_affine"],
+                    batch["agent_mask"],
+                    train,
+                    confidence=conf.reshape((b, l) + conf.shape[1:]),
+                )
             extra["comm_rate"] = comm_rate
         else:
             fused = build_fusion(method, fargs)(
@@ -113,6 +121,61 @@ class CenterPointBaseline(nn.Module):
         out["anchor_free"] = True
         out.update(extra)
         return out
+
+
+    def _multiscale_where2comm(
+        self, backbone, bev, conf, fargs, batch, b, l, train
+    ):
+        """Per-backbone-level fusion with one level-0 communication mask
+        max-pooled into deeper levels (ref where2comm_attn.py:254-310:
+        mask at i==0 from the confidence maps, F.max_pool2d(mask, 2) for
+        i>0, per-level fuse_modules, then deblock-decode)."""
+        import jax
+
+        from .fuse.fusion_in_one import Where2commFusion
+        from .fuse.where2comm_comm import CommMask
+
+        agg = fargs.get("agg_operator") or {}
+        feats = backbone.encode(bev, train)
+        h0, w0 = feats[0].shape[1:3]
+        conf0 = jax.image.resize(
+            conf.reshape((b, l) + conf.shape[1:]),
+            (b, l, h0, w0, 1),
+            "nearest",
+        )
+        mask, comm_rate = CommMask(
+            threshold=fargs.get("threshold", 0.01),
+            gaussian_smooth=fargs.get("gaussian_smooth", True),
+            smooth_sigma=fargs.get("smooth_sigma", 1.0),
+        )(conf0, train)
+        fused_levels = []
+        cur = mask  # (B, L, h, w, 1)
+        for i, f in enumerate(feats):
+            hi, wi = f.shape[1:3]
+            if (hi, wi) != cur.shape[2:4]:
+                ky = cur.shape[2] // hi
+                kx = cur.shape[3] // wi
+                flat = cur.reshape((b * l,) + cur.shape[2:])
+                flat = nn.max_pool(flat, (ky, kx), strides=(ky, kx))
+                cur = flat.reshape((b, l) + flat.shape[1:])
+            fl = f.reshape((b, l) + f.shape[1:])
+            fuse = Where2commFusion(
+                fl.shape[-1],
+                num_heads=agg.get("n_head", 8),
+                agg_mode=str(agg.get("mode", "transformer")).lower(),
+                with_spe=agg.get("with_spe", False),
+                name=f"w2c_fuse_{i}",
+            )
+            fused_levels.append(
+                fuse(
+                    fl,
+                    batch["pairwise_affine"],
+                    batch["agent_mask"],
+                    train,
+                    comm_mask=cur,
+                )
+            )
+        return backbone.decode(fused_levels, train), comm_rate
 
 
 @register_model("center_point_where2comm")

@@ -40,6 +40,11 @@ def build_fusion(method: str, args: dict):
             threshold=args.get("threshold", 0.01),
             gaussian_smooth=args.get("gaussian_smooth", True),
             smooth_sigma=args.get("smooth_sigma", 1.0),
+            agg_mode=str(
+                (args.get("agg_operator") or {}).get("mode", "transformer")
+            ).lower(),
+            num_heads=(args.get("agg_operator") or {}).get("n_head", 8),
+            with_spe=(args.get("agg_operator") or {}).get("with_spe", False),
         ),
         "who2com": lambda: Who2comFusion(args.get("in_channels", 64)),
     }
@@ -204,13 +209,48 @@ class V2VNetFusion(nn.Module):
         return mlp(out)
 
 
+def sinusoidal_pe(h: int, w: int, c: int, dtype=jnp.float32):
+    """2D sine/cosine positional map, (H, W, C).
+
+    Formula parity with ref where2comm_attn.py:148-169 (add_pe_map):
+    C/2 dims encode y, C/2 encode x, interleaved sin/cos over a 10000^k
+    temperature ladder. Requires C divisible by 4.
+    """
+    assert c % 4 == 0, f"sinusoidal_pe needs channels % 4 == 0, got {c}"
+    d = c // 2
+    dim_t = 10000.0 ** (2 * (jnp.arange(d) // 2) / d)  # (d,)
+    y = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None] / dim_t  # (h, d)
+    x = jnp.arange(1, w + 1, dtype=jnp.float32)[:, None] / dim_t  # (w, d)
+
+    def interleave(p):  # sin on even slots, cos on odd slots
+        return jnp.stack(
+            [jnp.sin(p[:, 0::2]), jnp.cos(p[:, 1::2])], axis=-1
+        ).reshape(p.shape[0], -1)
+
+    py, px = interleave(y), interleave(x)
+    pos = jnp.concatenate(
+        [
+            jnp.broadcast_to(py[:, None, :], (h, w, d)),
+            jnp.broadcast_to(px[None, :, :], (h, w, d)),
+        ],
+        axis=-1,
+    )
+    return pos.astype(dtype)
+
+
 class Where2commFusion(nn.Module):
-    """Multi-head attention fusion over confidence-masked transmissions
-    (ref fusion_in_one.py:431-484 + comm_modules/where2comm.py:34-79).
+    """Confidence-masked transmission + configurable aggregation
+    (ref fusion_in_one.py:431-484, where2comm_attn.py:44-146 agg modes
+    MAX / ATTEN / Transformer, + comm_modules/where2comm.py:34-79).
 
     When ``confidence`` (per-agent detection confidence, (B, L, H, W, 1))
     is given, non-ego agents transmit only cells whose smoothed confidence
     exceeds ``threshold``; the fraction sent is returned as comm_rate.
+
+    agg_mode selects the reference's agg_operator family: "transformer"
+    (EncodeLayer MHA + FFN, optional sinusoidal PE on q/k via with_spe),
+    "atten" (parameter-free per-pixel scaled dot-product self-attention,
+    AttenFusion), or "max" (MaxFusion).
     """
 
     feature_dims: int
@@ -218,6 +258,8 @@ class Where2commFusion(nn.Module):
     threshold: float = 0.01
     gaussian_smooth: bool = True
     smooth_sigma: float = 1.0
+    agg_mode: str = "transformer"
+    with_spe: bool = False
 
     @nn.compact
     def __call__(
@@ -227,10 +269,15 @@ class Where2commFusion(nn.Module):
         agent_mask,
         train: bool = False,
         confidence=None,
+        comm_mask=None,
     ):
         b, l, h, w, c = features.shape
         comm_rate = jnp.asarray(1.0, features.dtype)
-        if confidence is not None:
+        if comm_mask is not None:
+            # externally-built mask (multi-scale wiring pools one level-0
+            # mask across levels, ref where2comm_attn.py:264-275)
+            features = apply_comm_mask(features, comm_mask)
+        elif confidence is not None:
             mask, comm_rate = CommMask(
                 threshold=self.threshold,
                 gaussian_smooth=self.gaussian_smooth,
@@ -240,23 +287,36 @@ class Where2commFusion(nn.Module):
             features = apply_comm_mask(features, mask)
             self.sow("intermediates", "comm_rate", comm_rate)
         warped = warp_agents_to_ego(features, affine)
-        # queries: ego pixels; keys/values: same pixel across agents
-        q = warped[:, 0:1]  # (B, 1, H, W, C)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=c, name="mha"
-        )
-        q_ = q.transpose(0, 2, 3, 1, 4).reshape(b * h * w, 1, c)
-        kv = warped.transpose(0, 2, 3, 1, 4).reshape(b * h * w, l, c)
-        kv_mask = jnp.broadcast_to(
-            agent_mask[:, None, None, None, None, :], (b, h, w, 1, 1, l)
-        ).reshape(b * h * w, 1, 1, l)
-        fused = attn(q_, kv, kv, mask=kv_mask)
-        fused = fused.reshape(b, h, w, c)
-        # FFN + residual norms (EncodeLayer)
-        y = nn.LayerNorm()(fused + q[:, 0])
-        ff = nn.Dense(c)(nn.relu(nn.Dense(c)(y)))
-        out = nn.LayerNorm()(y + ff)
-        if confidence is not None:
+        if self.agg_mode == "max":
+            m = agent_mask[:, :, None, None, None]
+            out = jnp.where(m, warped, NEG_INF).max(axis=1)
+        elif self.agg_mode == "atten":
+            gated = warped * agent_mask[:, :, None, None, None]
+            out = ScaledDotProductAttention()(gated, agent_mask)[:, 0]
+        else:
+            # queries: ego pixels; keys/values: same pixel across agents
+            q = warped[:, 0:1]  # (B, 1, H, W, C)
+            k = warped
+            if self.with_spe:
+                pe = sinusoidal_pe(h, w, c, warped.dtype)
+                q = q + pe
+                k = k + pe  # PE enters q/k only; values stay raw
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=c, name="mha"
+            )
+            q_ = q.transpose(0, 2, 3, 1, 4).reshape(b * h * w, 1, c)
+            k_ = k.transpose(0, 2, 3, 1, 4).reshape(b * h * w, l, c)
+            v_ = warped.transpose(0, 2, 3, 1, 4).reshape(b * h * w, l, c)
+            kv_mask = jnp.broadcast_to(
+                agent_mask[:, None, None, None, None, :], (b, h, w, 1, 1, l)
+            ).reshape(b * h * w, 1, 1, l)
+            fused = attn(q_, k_, v_, mask=kv_mask)
+            fused = fused.reshape(b, h, w, c)
+            # FFN + residual norms (EncodeLayer)
+            y = nn.LayerNorm()(fused + q[:, 0])
+            ff = nn.Dense(c)(nn.relu(nn.Dense(c)(y)))
+            out = nn.LayerNorm()(y + ff)
+        if confidence is not None and comm_mask is None:
             return out, comm_rate
         return out
 

@@ -43,7 +43,10 @@ class CommMask(nn.Module):
             ax = jnp.arange(k, dtype=jnp.float32) - (k - 1) / 2
             g1 = jnp.exp(-(ax**2) / (2 * self.smooth_sigma**2))
             g2 = jnp.outer(g1, g1)
-            g2 = (g2 / g2.sum())[:, :, None, None]
+            # the reference kernel is UNNORMALIZED 1/(2*pi*sigma)*exp(...)
+            # (comm_modules/where2comm.py:25-31); matching it keeps the
+            # threshold semantics bit-compatible with reference configs
+            g2 = (g2 / (2 * jnp.pi * self.smooth_sigma))[:, :, None, None]
             b, l, h, w, c = conf.shape
             flat = conf.reshape(b * l, h, w, 1)
             flat = jax.lax.conv_general_dilated(

@@ -90,16 +90,25 @@ def run_inference(
     gt_range = jnp.asarray(post["gt_range"], dtype=jnp.float32)
     stat = eval_np.new_result_stat((0.3, 0.5, 0.7))
 
-    decode_one = jax.jit(
-        partial(
-            post_process_single,
-            anchors=anchors,
-            gt_range=gt_range,
-            order=post["order"],
-            score_threshold=post["target_args"]["score_threshold"],
-            nms_threshold=post["nms_thresh"],
-        )
-    )
+    # anchor-free models (CenterPoint family, PIXOR) mark their outputs;
+    # the decoder is built lazily off the first forward so the flag comes
+    # from the model itself, not a name heuristic
+    _decode_cell: dict = {}
+
+    def decode_one(*a, **k):
+        if "fn" not in _decode_cell:
+            _decode_cell["fn"] = jax.jit(
+                partial(
+                    post_process_single,
+                    anchors=anchors,
+                    gt_range=gt_range,
+                    order=post["order"],
+                    score_threshold=post["target_args"]["score_threshold"],
+                    nms_threshold=post["nms_thresh"],
+                    anchor_free=_decode_cell.get("anchor_free", False),
+                )
+            )
+        return _decode_cell["fn"](*a, **k)
     merge = jax.jit(partial(fuse_and_nms, nms_threshold=post["nms_thresh"]))
     decode_two = jax.jit(
         partial(
@@ -112,6 +121,10 @@ def run_inference(
     late = cfg["fusion"]["core_method"] in ("late", "lateheter")
 
     def _decode_batch(out, t_matrix):
+        if "fn" not in _decode_cell:
+            _decode_cell["anchor_free"] = bool(
+                np.asarray(out.get("anchor_free", False))
+            )
         return decode_one(
             out["cls_preds"][0],
             out["reg_preds"][0],

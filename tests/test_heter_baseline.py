@@ -177,3 +177,53 @@ class TestAlignerBackends:
             assert leaves and all(
                 np.isfinite(np.asarray(l)).all() for l in leaves
             ), m
+
+
+class TestWhere2commFidelity:
+    """Reference where2comm_attn.py agg_operator family + multi_scale."""
+
+    def _cfg(self, agg_mode, multi_scale, with_spe=False):
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        cfg["model"]["core_method"] = "center_point_where2comm"
+        cfg["loss"] = {
+            "core_method": "center_point_loss",
+            "args": {"cls_weight": 1.0, "reg_weight": 2.0},
+        }
+        cfg["model"]["args"]["where2comm"] = {
+            "threshold": 0.1,
+            "multi_scale": multi_scale,
+            "agg_operator": {
+                "mode": agg_mode,
+                "n_head": 4,
+                "with_spe": with_spe,
+            },
+        }
+        return cfg
+
+    @pytest.mark.parametrize(
+        "agg_mode,multi_scale,with_spe",
+        [
+            ("max", True, False),
+            ("atten", True, False),
+            ("transformer", True, True),
+            ("atten", False, False),
+            ("transformer", False, True),
+        ],
+    )
+    def test_agg_modes_forward(self, agg_mode, multi_scale, with_spe):
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.data import build_dataset
+        from heal_tpu.models import build_model
+
+        cfg = self._cfg(agg_mode, multi_scale, with_spe)
+        ds = build_dataset(cfg, train=False)
+        batch = jax.tree.map(jnp.asarray, next(ds.batches(1, shuffle=False)))
+        model = build_model(cfg["model"])
+        v = model.init(jax.random.PRNGKey(0), batch, train=False)
+        out = model.apply(v, batch, train=False)
+        assert "comm_rate" in out
+        assert 0.0 <= float(out["comm_rate"]) <= 1.0
+        assert np.isfinite(np.asarray(out["cls_preds"])).all()
+        assert np.isfinite(np.asarray(out["reg_preds"])).all()

@@ -403,3 +403,56 @@ class TestPoseNoiseParity:
         )
         assert abs(ref_yaw_deg.std() - ours[:, 4].std()) < 0.5
         assert abs(ref_noise[:, 0].std() - ours[:, 0].std()) < 0.05
+
+
+class TestWhere2commParity:
+    def test_sinusoidal_pe_vs_add_pe_map(self):
+        """Our sinusoidal_pe must reproduce the reference's with_spe
+        positional map (where2comm_attn.py:148-169 add_pe_map) exactly."""
+        from opencood.models.fuse_modules.where2comm_attn import add_pe_map
+
+        from heal_tpu.models.fuse.fusion_in_one import sinusoidal_pe
+
+        h, w, c = 12, 20, 32
+        x = torch.zeros(1, c, h, w)
+        ref = add_pe_map(x)[0].permute(1, 2, 0).numpy()  # (h, w, c)
+        ours = np.asarray(sinusoidal_pe(h, w, c))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_comm_mask_vs_reference_communication(self):
+        """CommMask's smoothed-threshold mask and comm rate must match the
+        reference Communication module (comm_modules/where2comm.py:34-79)
+        on the same confidence logits (non-ego senders; the reference's
+        nodiag overwrite / our ego passthrough are compared downstream of
+        the shared per-sender mask math)."""
+        import jax
+        from opencood.models.comm_modules.where2comm import Communication
+
+        from heal_tpu.models.fuse.where2comm_comm import CommMask
+
+        h, w, l = 16, 24, 4
+        logits = RNG.normal(0.0, 2.0, (l, 1, h, w)).astype(np.float32)
+
+        ref_comm = Communication(
+            {"thre": 0.2, "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0}}
+        )
+        with torch.no_grad():
+            _, ref_masks, ref_rate = ref_comm(
+                [t(logits)], t(np.array([l])), t(np.zeros((1, l, l, 2, 3)))
+            )
+        ref_masks = ref_masks.detach().numpy()[:, 0]  # (L, H, W)
+
+        conf = jax.nn.sigmoid(np.transpose(logits, (0, 2, 3, 1)))[None]
+        (mask, rate), _ = CommMask(
+            threshold=0.2, smooth_kernel=5, smooth_sigma=1.0
+        ).init_with_output(jax.random.PRNGKey(0), conf, train=False)
+        ours = np.asarray(mask)[0, :, :, :, 0]  # (L, H, W)
+        # the reference overwrites even-indexed senders' masks with ones
+        # (nodiag ego passthrough); the shared threshold math is visible
+        # on the odd rows. Allow <=2 cells of float-round-off flips at
+        # threshold-boundary values (torch vs XLA conv summation order).
+        mism = int((ours[1::2] != ref_masks[1::2]).sum())
+        assert mism <= 2, f"{mism} mask cells differ"
+        # the reference rate counts sender 0's PRE-overwrite mask, which
+        # is exactly our (no-passthrough) row 0
+        assert abs(float(ref_rate) - ours[0].mean()) < 1e-3
