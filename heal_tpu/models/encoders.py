@@ -49,10 +49,10 @@ class MaskedBatchNorm(nn.Module):
             mean = (x * w[:, None]).sum(0) / denom
             var = (((x - mean) ** 2) * w[:, None]).sum(0) / denom
             if not self.is_initializing():
-                from .layers import default_bn_momentum
+                from .layers import DEFAULT_BN_MOMENTUM
 
                 m = (self.momentum if self.momentum is not None
-                     else default_bn_momentum())
+                     else DEFAULT_BN_MOMENTUM)
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
         else:
@@ -69,10 +69,13 @@ class PFNLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
-        x = nn.Dense(self.features, use_bias=self.norm == "none")(x)
-        if self.norm == "batch":
-            x = MaskedBatchNorm()(x, mask, train)
-        elif self.norm == "group":
+        from .layers import parse_norm
+
+        kind, momentum = parse_norm(self.norm)
+        x = nn.Dense(self.features, use_bias=kind == "none")(x)
+        if kind == "batch":
+            x = MaskedBatchNorm(momentum=momentum)(x, mask, train)
+        elif kind == "group":
             x = nn.LayerNorm(epsilon=1e-3)(x)
         return nn.relu(x)
 
@@ -150,7 +153,7 @@ class PointPillarEncoder(nn.Module):
 
         if (
             len(self.num_filters) == 1
-            and self.norm == "batch"
+            and self.norm.split("@")[0] == "batch"
             and self.use_absolute_xyz
             and not self.with_distance
         ):
@@ -300,9 +303,11 @@ class PointPillarEncoder(nn.Module):
             ) / n_valid
             var_y = jnp.maximum(e2 - mean_y**2, 0.0)
             if not self.is_initializing():
-                from .layers import default_bn_momentum
+                from .layers import DEFAULT_BN_MOMENTUM, parse_norm
 
-                m = default_bn_momentum()  # MaskedBatchNorm momentum
+                m = parse_norm(self.norm)[1]  # MaskedBatchNorm momentum
+                if m is None:
+                    m = DEFAULT_BN_MOMENTUM
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean_y
                 ra_var.value = m * ra_var.value + (1 - m) * var_y
             mu, var = mean_y, var_y

@@ -23,17 +23,22 @@ import jax.numpy as jnp
 # running stats to converge — eval-mode predictions are garbage on shorter
 # runs (found via overfit-AP: train-mode AP 0.83, eval-mode 0.0). 0.9 is
 # the default; set ``model.args.bn_momentum: 0.99`` for reference parity
-# on long schedules (build_model applies it globally).
-_BN_MOMENTUM = 0.9
+# on long schedules. A non-default momentum rides the norm-kind string as
+# "batch@0.99" (build_model rewrites args['norm']) so each model instance
+# carries its own value — no process-global state; a KD teacher and
+# student can use different momenta in one process.
+DEFAULT_BN_MOMENTUM = 0.9
 
 
-def set_default_bn_momentum(momentum: float):
-    global _BN_MOMENTUM
-    _BN_MOMENTUM = float(momentum)
+def parse_norm(kind: str) -> tuple[str, float | None]:
+    """Split a norm-kind string into (base kind, momentum override).
 
-
-def default_bn_momentum() -> float:
-    return _BN_MOMENTUM
+    "batch" -> ("batch", None); "batch@0.99" -> ("batch", 0.99).
+    """
+    if "@" in kind:
+        base, mom = kind.split("@", 1)
+        return base, float(mom)
+    return kind, None
 
 
 class Norm(nn.Module):
@@ -44,7 +49,8 @@ class Norm(nn.Module):
     def __call__(self, x, train: bool = False, tile: int = 1):
         """tile > 1: x carries `tile` width-phases packed into channels
         (see pack_width); the (C,) norm params apply per logical channel."""
-        if self.kind == "batch":
+        kind, kind_momentum = parse_norm(self.kind)
+        if kind == "batch":
             c = x.shape[-1] // tile
             scale = self.param("scale", nn.initializers.ones, (c,))
             bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -60,11 +66,11 @@ class Norm(nn.Module):
                 axes = tuple(range(x.ndim - 1))
                 m = jnp.mean(xf, axis=axes)
                 v = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(m)
-                mom = (
-                    self.momentum
-                    if self.momentum is not None
-                    else _BN_MOMENTUM
-                )
+                mom = self.momentum
+                if mom is None:
+                    mom = kind_momentum
+                if mom is None:
+                    mom = DEFAULT_BN_MOMENTUM
                 if not self.is_initializing():
                     ra_mean.value = mom * ra_mean.value + (1 - mom) * m
                     ra_var.value = mom * ra_var.value + (1 - mom) * v
@@ -76,13 +82,13 @@ class Norm(nn.Module):
                 mul = jnp.tile(mul, tile)
                 add = jnp.tile(add, tile)
             return (x * mul + add).astype(x.dtype)
-        if self.kind == "group":
+        if kind == "group":
             assert tile == 1, "group norm is not packed-layout aware"
             groups = min(32, x.shape[-1])
             while x.shape[-1] % groups != 0:
                 groups //= 2
             return nn.GroupNorm(num_groups=groups, epsilon=1e-3)(x)
-        if self.kind == "none":
+        if kind == "none":
             return x
         raise ValueError(f"unknown norm kind {self.kind!r}")
 
@@ -302,7 +308,7 @@ class ResNetStage(nn.Module):
             not train
             and self.planes <= 64
             and self.groups == 1
-            and self.norm in ("batch", "none")
+            and parse_norm(self.norm)[0] in ("batch", "none")
             and x.shape[1] % 2 == 0
             and x.shape[2] % 2 == 0
             and (

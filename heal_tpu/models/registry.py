@@ -48,11 +48,16 @@ def build_model(model_cfg: dict):
             f"unknown model core_method {name!r}; registered: "
             f"{sorted(MODEL_REGISTRY)}"
         )
-    if "bn_momentum" in model_cfg.get("args", {}):
-        from .layers import set_default_bn_momentum
-
-        set_default_bn_momentum(model_cfg["args"]["bn_momentum"])
-    return MODEL_REGISTRY[name](args=model_cfg["args"])
+    args = model_cfg["args"]
+    if "bn_momentum" in args:
+        # Per-model BN momentum rides the norm-kind string ("batch@0.99")
+        # so two models built in one process (e.g. KD teacher + student)
+        # each keep their own value — no module-level global.
+        mom = float(args["bn_momentum"])
+        base = str(args.get("norm", "batch")).split("@")[0]
+        if base == "batch":
+            args = dict(args, norm=f"batch@{mom}")
+    return MODEL_REGISTRY[name](args=args)
 
 
 def build_loss(loss_cfg: dict):

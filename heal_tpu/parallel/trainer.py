@@ -83,6 +83,13 @@ class Trainer:
     single_weight: float = 1.0
     mesh: Mesh | None = None
     fix_modules: tuple = ()
+    # Base key for per-step model rngs; folded with the step counter so
+    # stochastic train-time modules (Where2comm comm-threshold sampling,
+    # transformer dropout) see a fresh stream each step and resumes are
+    # deterministic. The reference always trains against its comm masking
+    # (comm_modules/where2comm.py:34-79) and uses dropout in its fusion
+    # transformers (sub_modules/v2xvit_basic.py:42).
+    rng: Any = None
 
     def init_state(self, rng, example_batch) -> TrainState:
         from ..utils.jit_cache import jit_init
@@ -98,16 +105,25 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
-    def _loss_fn(self, params, batch_stats, batch):
+    def _apply_train(self, variables, batch, mutable, step_rng):
+        rngs = None
+        if step_rng is not None:
+            comm_rng, dropout_rng = jax.random.split(step_rng)
+            rngs = {"comm": comm_rng, "dropout": dropout_rng}
+        return self.model.apply(
+            variables, batch, train=True, mutable=mutable, rngs=rngs
+        )
+
+    def _loss_fn(self, params, batch_stats, batch, step_rng=None):
         variables = {"params": params}
         mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out, mutated = self.model.apply(
-            variables, batch, train=True, mutable=mutable
-        )
+        out, mutated = self._apply_train(variables, batch, mutable, step_rng)
         loss, aux = self.criterion(out, _label_targets(batch))
+        if "comm_rate" in out:  # where2comm bandwidth metric -> train logs
+            aux = dict(aux, comm_rate=out["comm_rate"])
         if self.supervise_single:
             loss_s, aux_s = self.criterion(
                 out, _single_targets(batch), "_single"
@@ -118,9 +134,11 @@ class Trainer:
         return loss, (aux, new_stats)
 
     def _train_step(self, state: TrainState, batch: dict):
+        base = self.rng if self.rng is not None else jax.random.PRNGKey(0)
+        step_rng = jax.random.fold_in(base, state.step)
         grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
         (loss, (aux, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, batch
+            state.params, state.batch_stats, batch, step_rng
         )
         if self.fix_modules:
             from .freezing import freeze_stats

@@ -31,15 +31,13 @@ class KDTrainer(Trainer):
 
     teacher_apply = None  # (batch) -> teacher feature
 
-    def _loss_fn(self, params, batch_stats, batch):
+    def _loss_fn(self, params, batch_stats, batch, step_rng=None):
         variables = {"params": params}
         mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
-        out, mutated = self.model.apply(
-            variables, batch, train=True, mutable=mutable
-        )
+        out, mutated = self._apply_train(variables, batch, mutable, step_rng)
         if self.teacher_apply is not None:
             out["teacher_feature"] = jax.lax.stop_gradient(
                 self.teacher_apply(batch)

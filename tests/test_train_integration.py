@@ -109,3 +109,79 @@ class TestDeviceBatchCache:
         with open(os.path.join(run_dir, "train_log.jsonl")) as f:
             log = f.readlines()
         assert len(log) >= 2  # one JSONL row per epoch ran
+
+
+class TestTrainerRngPlumbing:
+    def test_comm_mask_varies_across_real_train_steps(self):
+        """The Trainer passes per-step rngs into model.apply, so the
+        Where2comm train-time threshold sampling (CommMask, fuse/
+        where2comm_comm.py) is live in REAL training — the reference
+        always trains against its comm masking
+        (comm_modules/where2comm.py:34-79). With lr=0 and an identical
+        batch every step, the rng is the ONLY source of variation in the
+        reported comm_rate."""
+        from heal_tpu.config import load_yaml
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        cfg["model"]["args"]["fusion_method"] = "where2comm"
+        cfg["model"]["args"]["where2comm"] = {
+            "threshold": 0.03, "in_channels": 64,
+        }
+        cfg["optimizer"]["lr"] = 0.0
+        trainer, state, batch, _ = make_trainer(cfg)
+        rates = []
+        for _ in range(6):
+            state, aux = trainer.train_step(state, batch)
+            assert "comm_rate" in aux
+            rates.append(round(float(aux["comm_rate"]), 6))
+        assert len(set(rates)) > 1, rates
+
+
+class TestPerModelBNMomentum:
+    def test_momentum_rides_norm_kind_string(self):
+        """bn_momentum is per-model (encoded as norm="batch@M" by
+        build_model), not a process global: two models built in one
+        process (the KD teacher+student case) keep their own values."""
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.models.layers import Norm, parse_norm
+        from heal_tpu.models.registry import build_model
+
+        assert parse_norm("batch@0.99") == ("batch", 0.99)
+        assert parse_norm("batch") == ("batch", None)
+
+        x = jnp.ones((2, 4, 4, 3)) * 2.0
+        outs = {}
+        for mom in (0.5, 0.99):
+            norm = Norm(kind=f"batch@{mom}")
+            v = norm.init(jax.random.PRNGKey(0), x, train=True)
+            _, mut = norm.apply(
+                v, x, train=True, mutable=["batch_stats"]
+            )
+            outs[mom] = float(mut["batch_stats"]["mean"][0])
+        # running mean after one step: (1 - mom) * batch_mean
+        assert abs(outs[0.5] - 0.5 * 2.0) < 1e-6
+        assert abs(outs[0.99] - 0.01 * 2.0) < 1e-6
+
+        # build_model rewrites args['norm'] per instance, no global
+        args = {
+            "voxel_size": [0.4, 0.4, 4],
+            "lidar_range": [-38.4, -38.4, -3, 38.4, 38.4, 1],
+            "anchor_number": 2,
+            "bn_momentum": 0.99,
+            "pillar_vfe": {"num_filters": [32]},
+            "point_pillar_scatter": {"num_features": 32},
+            "base_bev_backbone": {
+                "resnet": True, "layer_nums": [1], "layer_strides": [2],
+                "num_filters": [32], "upsample_strides": [1],
+                "num_upsample_filter": [32],
+            },
+        }
+        m_ref = build_model({"core_method": "point_pillar", "args": args})
+        m_def = build_model(
+            {"core_method": "point_pillar",
+             "args": {k: v for k, v in args.items() if k != "bn_momentum"}}
+        )
+        assert m_ref.args["norm"] == "batch@0.99"
+        assert m_def.args.get("norm", "batch") == "batch"
