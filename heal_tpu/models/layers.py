@@ -43,7 +43,11 @@ def parse_norm(kind: str) -> tuple[str, float | None]:
 
 class Norm(nn.Module):
     kind: str = "batch"
-    momentum: float | None = None  # None -> the global default
+    momentum: float | None = None  # None -> the default
+    # the reference mixes eps conventions: torch-default 1e-5 inside
+    # resblocks (resblock.py uses bare nn.BatchNorm2d), 1e-3 in deblocks
+    # and the VFE (base_bev_backbone_resnet.py:60); match per call site
+    epsilon: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = False, tile: int = 1):
@@ -76,7 +80,9 @@ class Norm(nn.Module):
                     ra_var.value = mom * ra_var.value + (1 - mom) * v
             else:
                 m, v = ra_mean.value, ra_var.value
-            mul = scale * jax.lax.rsqrt(v.astype(scale.dtype) + 1e-3)
+            mul = scale * jax.lax.rsqrt(
+                v.astype(scale.dtype) + self.epsilon
+            )
             add = bias - m.astype(scale.dtype) * mul
             if tile > 1:
                 mul = jnp.tile(mul, tile)
@@ -112,11 +118,12 @@ def s2d_conv_kernel(k, stride: int):
 
     Returns (k2 (kh, bw, 2*cin, 2*cout), w_pad (lo, hi)) such that a
     conv_general_dilated over the packed input with stride
-    (stride, stride) and width padding w_pad equals the original SAME
-    conv (even H, W), with the output again width-packed.
+    (stride, stride) and width padding w_pad equals the original conv
+    with torch-style symmetric padding (kw-1)//2 (even H, W), with the
+    output again width-packed.
     """
     kh, kw, cin, cout = k.shape
-    pad_low = (kw - 1) // 2 if stride == 1 else 0  # XLA SAME, even size
+    pad_low = (kw - 1) // 2  # torch symmetric padding convention
     taps = []
     for p in (0, 1):
         for v in range(kw):
@@ -151,6 +158,7 @@ class ConvNormAct(nn.Module):
     norm: str = "batch"
     act: bool = True
     use_bias: bool = False
+    norm_eps: float = 1e-3
 
     @nn.compact
     def __call__(self, x, train: bool = False, s2d: bool = False):
@@ -164,14 +172,7 @@ class ConvNormAct(nn.Module):
         if s2d:
             assert self.groups == 1 and self.padding == "SAME"
             k2, w_pad = s2d_conv_kernel(kern, self.stride)
-            if self.kernel == 1:
-                h_pad = (0, 0)
-            else:
-                h_pad = (
-                    ((self.kernel - 1) // 2,) * 2
-                    if self.stride == 1
-                    else (0, 1)
-                )
+            h_pad = (((self.kernel - 1) // 2,) * 2)
             x = jax.lax.conv_general_dilated(
                 x,
                 k2,
@@ -180,14 +181,20 @@ class ConvNormAct(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         else:
-            pad = self.padding if isinstance(self.padding, str) else [
-                (self.padding, self.padding)
-            ] * 2
+            # "SAME" means torch-style symmetric padding (k-1)//2: for
+            # stride 1 and odd kernels it IS XLA SAME; for strided convs
+            # XLA SAME pads asymmetrically ((0, 1) for 3x3/s2), which
+            # shifts features one pixel vs the reference's convention and
+            # breaks checkpoint transplants (utils/transplant.py)
+            if isinstance(self.padding, str):
+                p = (self.kernel - 1) // 2
+            else:
+                p = self.padding
             x = jax.lax.conv_general_dilated(
                 x,
                 kern,
                 (self.stride, self.stride),
-                pad,
+                [(p, p)] * 2,
                 feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
@@ -196,7 +203,9 @@ class ConvNormAct(nn.Module):
                 "conv_bias", nn.initializers.zeros, (self.features,)
             ).astype(x.dtype)
             x = x + (jnp.tile(b, 2) if s2d else b)
-        x = Norm(self.norm)(x, train, tile=2 if s2d else 1)
+        x = Norm(self.norm, epsilon=self.norm_eps)(
+            x, train, tile=2 if s2d else 1
+        )
         return nn.relu(x) if self.act else x
 
 
@@ -235,15 +244,19 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False, s2d: bool = False):
         cin = x.shape[-1] // (2 if s2d else 1)
         identity = x
+        # eps 1e-5: the reference resblocks use bare nn.BatchNorm2d
         out = ConvNormAct(
-            self.planes, 3, self.stride, groups=self.groups, norm=self.norm
+            self.planes, 3, self.stride, groups=self.groups,
+            norm=self.norm, norm_eps=1e-5,
         )(x, train, s2d=s2d)
         out = ConvNormAct(
-            self.planes, 3, 1, groups=self.groups, norm=self.norm, act=False
+            self.planes, 3, 1, groups=self.groups, norm=self.norm,
+            act=False, norm_eps=1e-5,
         )(out, train, s2d=s2d)
         if self.stride != 1 or cin != self.planes:
             identity = ConvNormAct(
-                self.planes, 1, self.stride, norm=self.norm, act=False
+                self.planes, 1, self.stride, norm=self.norm, act=False,
+                norm_eps=1e-5,
             )(x, train, s2d=s2d)
         return nn.relu(out + identity)
 
@@ -270,16 +283,20 @@ class BottleneckX(nn.Module):
         width = int(self.planes * (self.width_per_group / 64.0)) * 32
         cin = x.shape[-1] // (2 if s2d else 1)
         identity = x
-        out = ConvNormAct(width, 1, 1, norm=self.norm)(x, train, s2d=s2d)
-        out = ConvNormAct(
-            width, 3, self.stride, groups=self.groups, norm=self.norm
-        )(out, train, s2d=s2d)
-        out = ConvNormAct(self.planes, 1, 1, norm=self.norm, act=False)(
-            out, train, s2d=s2d
+        out = ConvNormAct(width, 1, 1, norm=self.norm, norm_eps=1e-5)(
+            x, train, s2d=s2d
         )
+        out = ConvNormAct(
+            width, 3, self.stride, groups=self.groups, norm=self.norm,
+            norm_eps=1e-5,
+        )(out, train, s2d=s2d)
+        out = ConvNormAct(
+            self.planes, 1, 1, norm=self.norm, act=False, norm_eps=1e-5
+        )(out, train, s2d=s2d)
         if self.stride != 1 or cin != self.planes:
             identity = ConvNormAct(
-                self.planes, 1, self.stride, norm=self.norm, act=False
+                self.planes, 1, self.stride, norm=self.norm, act=False,
+                norm_eps=1e-5,
             )(x, train, s2d=s2d)
         return nn.relu(out + identity)
 
@@ -337,7 +354,10 @@ class ResNetStage(nn.Module):
 
 
 class DownsampleConv(nn.Module):
-    """Shrink header: stacked conv-norm-relu (ref sub_modules/downsample_conv.py).
+    """Shrink header (ref sub_modules/downsample_conv.py DoubleConv): per
+    stage Conv(k, s, biased) -> ReLU -> Conv(3x3, biased) -> ReLU. The
+    reference uses NO normalization here; structure matches so reference
+    checkpoints transplant 1:1 (utils/transplant.py).
 
     Config lists kernal_size/stride/padding/dim per stage.
     """
@@ -345,12 +365,25 @@ class DownsampleConv(nn.Module):
     dims: Sequence[int]
     kernels: Sequence[int]
     strides: Sequence[int]
-    norm: str = "batch"
+    paddings: Sequence[int] = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for dim, k, s in zip(self.dims, self.kernels, self.strides):
-            x = ConvNormAct(dim, k, s, norm=self.norm)(x, train)
+        pads = self.paddings or tuple((k - 1) // 2 for k in self.kernels)
+        for i, (dim, k, s, p) in enumerate(
+            zip(self.dims, self.kernels, self.strides, pads)
+        ):
+            x = nn.relu(
+                nn.Conv(
+                    dim, (k, k), strides=(s, s), padding=[(p, p)] * 2,
+                    name=f"conv_{i}a",
+                )(x)
+            )
+            x = nn.relu(
+                nn.Conv(
+                    dim, (3, 3), padding=[(1, 1)] * 2, name=f"conv_{i}b"
+                )(x)
+            )
         return x
 
 

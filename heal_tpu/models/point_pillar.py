@@ -40,7 +40,7 @@ def _shrink_from_args(args: dict, norm: str):
         dims=tuple(sh["dim"]),
         kernels=tuple(sh["kernal_size"]),
         strides=tuple(sh["stride"]),
-        norm=norm,
+        paddings=tuple(sh.get("padding", ())),
     )
 
 
