@@ -4,6 +4,8 @@ The integration twin is __graft_entry__.dryrun_multichip, which jits the
 full flagship train step over a 2x2x2 mesh — too heavy for CI on this
 box, so here we verify the placement rules themselves on tiny arrays.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,3 +103,76 @@ def test_sharded_matmul_matches_single_device(mesh222):
     xb = shlib.shard_batch({"targets": x}, mesh222)
     out = jax.jit(lambda a, b: a @ b)(xb["targets"], state["w"])
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5)
+
+
+def _flagship_setup(norm=None):
+    """Tiny flagship (HEAL pyramid collab m1) trainer + one batch,
+    agent capacity 4 so the 2-way agent axis divides it."""
+    import os
+
+    import jax
+
+    from heal_tpu.config import load_yaml
+    from heal_tpu.data import build_dataset
+    from heal_tpu.losses import build_loss
+    from heal_tpu.models import build_model
+    from heal_tpu.parallel import Trainer
+    from heal_tpu.parallel.schedulers import build_optimizer
+    from heal_tpu.parallel.trainer import to_device
+
+    cfg = load_yaml(
+        os.path.join(os.path.dirname(__file__), "configs", "entry_tiny.yaml")
+    )
+    cfg["train_params"]["max_cav"] = 4
+    cfg["fusion"]["args"]["num_agents"] = 4
+    cfg["fusion"]["args"]["num_scenes_train"] = 4
+    if norm is not None:
+        cfg["model"]["args"]["norm"] = norm
+    ds = build_dataset(cfg, train=True)
+    model = build_model(cfg["model"])
+    criterion = build_loss(cfg["loss"])
+    tx = build_optimizer(cfg["optimizer"], cfg.get("lr_scheduler"), 4)
+    trainer = Trainer(
+        model=model, criterion=criterion, tx=tx,
+        supervise_single=cfg["model"]["args"].get("supervise_single", False),
+    )
+    batch = to_device(next(ds.batches(2, shuffle=False)))
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    return trainer, state, batch
+
+
+def _equivalence_deltas(trainer, state, batch, mesh):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from __graft_entry__ import sharded_equivalence_deltas
+
+    sb = shlib.shard_batch(batch, mesh)
+    ss = shlib.shard_state(state, mesh)
+    return sharded_equivalence_deltas(trainer, state, batch, ss, sb)
+
+
+class TestShardedEquivalence:
+    """One full flagship train step on the 2x2x2 virtual mesh computes
+    the SAME loss and gradients as single-device — the multi-chip
+    correctness story on a box with no multi-chip hardware."""
+
+    def test_grads_match_tight_without_bn(self, mesh222):
+        """norm='none' isolates the sharding math itself: gradients
+        agree to f32 reassociation noise (~1e-7 relative)."""
+        trainer, state, batch = _flagship_setup(norm="none")
+        d_loss, d_grads = _equivalence_deltas(trainer, state, batch, mesh222)
+        loss_scale = 400.0  # entry_tiny initial loss magnitude
+        assert d_loss <= 1e-5 * loss_scale, d_loss
+        assert d_grads <= 1e-5 * loss_scale, d_grads
+
+    def test_grads_match_with_batchnorm(self, mesh222):
+        """With BatchNorm the function itself is ill-conditioned at
+        init: rsqrt(var + 1e-5) on near-dead channels amplifies ANY fp
+        noise (the same deltas appear CPU-vs-CPU with a different
+        reduction order). Loss stays at reassociation level; gradients
+        are bounded by the conditioning-scaled tolerance."""
+        trainer, state, batch = _flagship_setup()
+        d_loss, d_grads = _equivalence_deltas(trainer, state, batch, mesh222)
+        assert d_loss <= 1e-5 * 400.0, d_loss
+        assert d_grads <= 1e-3 * 400.0, d_grads
