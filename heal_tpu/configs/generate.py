@@ -237,10 +237,11 @@ def pp_model(fusion_method=None):
                 "conv_gru": {"kernel_size": [[3, 3]], "num_layers": 1},
             }
         if fusion_method == "v2xvit":
-            args["v2xvit"] = {"depth": 3}
+            args["v2xvit"] = {"depth": 3, "dropout": 0.3}
         if fusion_method == "cobevt":
             args["cobevt"] = {
                 "input_dim": 256, "window_size": 8, "depth": 2,
+                "drop_out": 0.1,
             }
         if fusion_method == "when2com":
             args["when2com"] = {
@@ -371,9 +372,10 @@ def e2e_baseline_cfg(dataset, mods, method, name):
     model["args"]["fusion_method"] = method
     margs = {"in_channels": 64}
     if method == "cobevt":
-        margs = {"input_dim": 64, "window_size": 8, "depth": 3}
+        margs = {"input_dim": 64, "window_size": 8, "depth": 3,
+                 "drop_out": 0.1}
     if method == "v2xvit":
-        margs = {"depth": 2, "num_types": 5}
+        margs = {"depth": 2, "num_types": 5, "dropout": 0.3}
     if method == "v2vnet":
         margs = {"in_channels": 64, "num_iteration": 2,
                  "agg_operator": "avg", "gru_flag": True}

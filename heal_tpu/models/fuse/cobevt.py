@@ -31,6 +31,7 @@ class SwapAttention(nn.Module):
     size: int
     heads: int = 8
     mode: str = "window"
+    dropout: float = 0.0  # ref swap_fusion_modules.py:52 to_out Dropout
 
     def _rel_pos_bias(self, l):
         """(1, M, L*s*s, L*s*s) bias from a (2L-1)(2s-1)^2 table."""
@@ -58,7 +59,7 @@ class SwapAttention(nn.Module):
         return bias.transpose(2, 0, 1)[None]
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, train: bool = False):
         # x: (B, L, H, W, C); mask: (B, L)
         b, l, h, w, c = x.shape
         s = self.size
@@ -85,6 +86,7 @@ class SwapAttention(nn.Module):
                 q_, k_, v_, bias=bias, **kw
             ),
         )(tokens, tokens, tokens, mask=kv_mask)
+        out = nn.Dropout(self.dropout, deterministic=not train)(out)
         out = out.reshape(b, nh, nw, l, s, s, c)
         if self.mode == "window":
             out = out.transpose(0, 3, 1, 4, 2, 5, 6)
@@ -97,17 +99,30 @@ class SwapAttention(nn.Module):
 class SwapFusionBlock(nn.Module):
     dim: int
     window: int
+    dropout: float = 0.0  # ref FeedForward/Attention dropout
+
+    def _ffn(self, y, train):
+        y = nn.Dropout(self.dropout, deterministic=not train)(
+            nn.gelu(nn.Dense(2 * self.dim)(y))
+        )
+        return nn.Dropout(self.dropout, deterministic=not train)(
+            nn.Dense(self.dim)(y)
+        )
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, train: bool = False):
         y = nn.LayerNorm()(x)
-        x = x + SwapAttention(self.dim, self.window, mode="window")(y, mask)
+        x = x + SwapAttention(
+            self.dim, self.window, mode="window", dropout=self.dropout
+        )(y, mask, train)
         y = nn.LayerNorm()(x)
-        x = x + nn.Dense(self.dim)(nn.gelu(nn.Dense(2 * self.dim)(y)))
+        x = x + self._ffn(y, train)
         y = nn.LayerNorm()(x)
-        x = x + SwapAttention(self.dim, self.window, mode="grid")(y, mask)
+        x = x + SwapAttention(
+            self.dim, self.window, mode="grid", dropout=self.dropout
+        )(y, mask, train)
         y = nn.LayerNorm()(x)
-        x = x + nn.Dense(self.dim)(nn.gelu(nn.Dense(2 * self.dim)(y)))
+        x = x + self._ffn(y, train)
         return x
 
 
@@ -121,11 +136,16 @@ class CoBEVTFusion(nn.Module):
         cfg = self.args or {}
         depth = cfg.get("depth", 2)
         window = cfg.get("window_size", 4)
+        # the reference configs carry ``drop_out`` (0.1 in the published
+        # cobevt yamls); train mode draws from the Trainer's dropout rng
+        dropout = float(cfg.get("drop_out", cfg.get("dropout", 0.0)))
         c = features.shape[-1]
         x = warp_agents_to_ego(features, affine)
         x = x * agent_mask[:, :, None, None, None]
         for i in range(depth):
-            x = SwapFusionBlock(c, window, name=f"block_{i}")(x, agent_mask)
+            x = SwapFusionBlock(
+                c, window, dropout=dropout, name=f"block_{i}"
+            )(x, agent_mask, train)
         # mlp head: mean over agents (masked), LN + Dense
         m = agent_mask[:, :, None, None, None].astype(x.dtype)
         pooled = (x * m).sum(1) / jnp.maximum(m.sum(1), 1.0)

@@ -84,9 +84,10 @@ class HMSA(nn.Module):
     dim: int
     heads: int = 8
     num_types: int = 4
+    dropout: float = 0.0  # ref hmsa.py:18 drop_out on the output proj
 
     @nn.compact
-    def __call__(self, x, mask, agent_types=None):
+    def __call__(self, x, mask, agent_types=None, train: bool = False):
         # x: (B, L, H, W, C); mask: (B, L); agent_types: (B, L) ints
         b, l, h, w, c = x.shape
         m, dh = self.heads, self.dim // self.heads
@@ -161,7 +162,8 @@ class HMSA(nn.Module):
             axis=1,
         )  # (B, L, H, W, M, dh)
         out = out.reshape(b, l, h, w, self.dim)
-        return TypedDense(self.dim, t_num, name="proj")(out, type_oh)
+        out = TypedDense(self.dim, t_num, name="proj")(out, type_oh)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
 
 
 class WindowAttention(nn.Module):
@@ -171,9 +173,10 @@ class WindowAttention(nn.Module):
     dim: int
     window: int
     heads: int = 8
+    dropout: float = 0.0  # ref mswin.py:43 Dropout in the to_out MLP
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         # x: (N, H, W, C); H, W divisible by window (caller pads)
         n, h, w, c = x.shape
         ws = self.window
@@ -204,6 +207,7 @@ class WindowAttention(nn.Module):
                 q_, k_, v_, bias=bias, **kw
             ),
         )(x)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         attn = attn.reshape(n, h // ws, w // ws, ws, ws, c)
         attn = attn.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
         return attn
@@ -239,16 +243,19 @@ class MSwin(nn.Module):
 
     dim: int
     windows: tuple = (2, 4, 8)
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         n, h, w, c = x.shape
         outs = []
         for ws in self.windows:
             ph = (-h) % ws
             pw = (-w) % ws
             xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
-            o = WindowAttention(self.dim, ws, name=f"win{ws}")(xp)
+            o = WindowAttention(
+                self.dim, ws, dropout=self.dropout, name=f"win{ws}"
+            )(xp, train)
             outs.append(o[:, :h, :w])
         return SplitAttn(self.dim, name="split_attn")(outs)
 
@@ -261,20 +268,23 @@ class V2XViTBlock(nn.Module):
     num_blocks: int = 1
     num_types: int = 4
     windows: tuple = (2, 4, 8)
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, mask, agent_types=None):
+    def __call__(self, x, mask, agent_types=None, train: bool = False):
         b, l, h, w, c = x.shape
         for n in range(self.num_blocks):
             y = nn.LayerNorm()(x)
             x = x + HMSA(
-                self.dim, num_types=self.num_types, name=f"hmsa_{n}"
-            )(y, mask, agent_types)
+                self.dim, num_types=self.num_types,
+                dropout=self.dropout, name=f"hmsa_{n}",
+            )(y, mask, agent_types, train)
             flat = x.reshape(b * l, h, w, c)
             y = nn.LayerNorm()(flat)
             flat = flat + MSwin(
-                self.dim, self.windows, name=f"mswin_{n}"
-            )(y)
+                self.dim, self.windows, dropout=self.dropout,
+                name=f"mswin_{n}",
+            )(y, train)
             x = flat.reshape(b, l, h, w, c)
         return x
 
@@ -300,6 +310,18 @@ class V2XViTFusion(nn.Module):
         num_blocks = enc.get("num_blocks", cfg.get("num_blocks", 1))
         num_types = cfg.get("num_types", 4)
         windows = tuple(cfg.get("windows", (2, 4, 8)))
+        # dropout rides the reference's config keys (cav_att_config /
+        # feed_forward, e.g. 0.3 in the published v2xvit yamls) or a
+        # flat ``dropout``; train mode draws from the "dropout" rng the
+        # Trainer supplies per step
+        dropout = float(
+            enc.get("cav_att_config", {}).get(
+                "dropout",
+                cfg.get("cav_att_config", {}).get(
+                    "dropout", cfg.get("dropout", 0.0)
+                ),
+            )
+        )
         c = features.shape[-1]
         x = warp_agents_to_ego(features, affine)
         x = x * agent_mask[:, :, None, None, None]
@@ -310,11 +332,17 @@ class V2XViTFusion(nn.Module):
                 num_blocks=num_blocks,
                 num_types=num_types,
                 windows=windows,
+                dropout=dropout,
                 name=f"block_{i}",
-            )(x, agent_mask, agent_types)
-            # PreNorm FFN per depth (v2xvit_basic.py V2XTEncoder layers)
+            )(x, agent_mask, agent_types, train)
+            # PreNorm FFN per depth (v2xvit_basic.py V2XTEncoder layers;
+            # FeedForward drops after each dense, base_transformer.py:33-35)
             flat = x.reshape(b * l, h, w, c)
             y = nn.LayerNorm()(flat)
-            flat = flat + nn.Dense(c)(nn.gelu(nn.Dense(2 * c)(y)))
+            y = nn.Dropout(dropout, deterministic=not train)(
+                nn.gelu(nn.Dense(2 * c)(y))
+            )
+            y = nn.Dropout(dropout, deterministic=not train)(nn.Dense(c)(y))
+            flat = flat + y
             x = flat.reshape(b, l, h, w, c)
         return nn.LayerNorm()(x[:, 0])

@@ -277,3 +277,50 @@ class TestV2XViTTypeEquivariance:
             )
         )
         assert np.abs(out - out_s).max() > 1e-4
+
+
+class TestTransformerDropout:
+    """Reference fidelity: V2XViT and CoBEVT use dropout throughout
+    (v2xvit_basic.py:42,95-155 dropout 0.3 in the published configs;
+    swap_fusion_modules.py drop_out 0.1). Train mode must be stochastic
+    per dropout rng; eval mode must be deterministic and rng-free."""
+
+    @pytest.mark.parametrize(
+        "method,args",
+        [
+            ("v2xvit", {"depth": 1, "dropout": 0.3}),
+            ("cobevt", {"input_dim": 32, "window_size": 4, "depth": 1,
+                        "drop_out": 0.3}),
+        ],
+    )
+    def test_train_stochastic_eval_deterministic(self, setup, method, args):
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.models.fuse import build_fusion
+
+        feats, affine, mask = setup
+        module = build_fusion(method, args)
+        v = module.init(jax.random.PRNGKey(0), feats, affine, mask)
+
+        # eval: deterministic, no rng needed
+        e1 = np.asarray(module.apply(v, feats, affine, mask, False))
+        e2 = np.asarray(module.apply(v, feats, affine, mask, False))
+        np.testing.assert_array_equal(e1, e2)
+
+        # train: different dropout rngs -> different outputs
+        t1 = np.asarray(module.apply(
+            v, feats, affine, mask, True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        ))
+        t2 = np.asarray(module.apply(
+            v, feats, affine, mask, True,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        ))
+        assert np.abs(t1 - t2).max() > 1e-4
+        # same rng -> reproducible
+        t1b = np.asarray(module.apply(
+            v, feats, affine, mask, True,
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        ))
+        np.testing.assert_array_equal(t1, t1b)
