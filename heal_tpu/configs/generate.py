@@ -388,6 +388,7 @@ def e2e_baseline_cfg(dataset, mods, method, name):
     cfg["model"] = model
     if all(modality_block(m)["sensor_type"] == "camera" for m in mods):
         cfg["input_source"] = ["camera"]
+        cfg["label_type"] = "camera"
     elif any(modality_block(m)["sensor_type"] == "camera" for m in mods):
         cfg["input_source"] = ["lidar", "camera"]
     if dataset == "dairv2x":
@@ -463,6 +464,7 @@ def single_pretrain_cfg(dataset, m, name):
     cfg["model"] = model
     if m == "m2":
         cfg["input_source"] = ["camera"]
+        cfg["label_type"] = "camera"
     return cfg
 
 
@@ -737,6 +739,7 @@ def main(out_dir: str):
     cfg["model"] = heal_model(["m2"])
     cfg["loss"] = PYRAMID_LOSS
     cfg["input_source"] = ["camera"]
+    cfg["label_type"] = "camera"  # camera-visible GT (ref CameraOnly:16)
     write(cfg, f"{out_dir}/opv2v/camera_only/m2_pyramid.yaml")
 
     # ---- DAIR-V2X-C

@@ -266,6 +266,18 @@ class OPV2VBackend:
                 "modality": modality,
                 "points": points,
             }
+            # camera-visible GT raster (label_type 'camera'): the
+            # reference indexes it via add_data_extension
+            # (opv2v_basedataset.py:175-181, base_postprocessor.py:523)
+            vis_path = os.path.join(cdir, f"{ts}_bev_visibility.png")
+            if self.params.get("label_type") == "camera" and os.path.exists(
+                vis_path
+            ):
+                from PIL import Image
+
+                agent["bev_visibility"] = np.asarray(
+                    Image.open(vis_path).convert("L")
+                )
             if "camera0" in frame:
                 agent["camera_meta"] = {
                     k: frame[k] for k in frame if k.startswith("camera")

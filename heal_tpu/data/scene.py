@@ -54,6 +54,12 @@ class IntermediateAssembler:
             "supervise_single", False
         )
         self.noise_setting = params.get("noise_setting", {"add_noise": False})
+        # label_type 'camera': GT supervised only on objects a camera rig
+        # can actually see, filtered by the ego's BEV visibility map
+        # (ref opv2v_basedataset.py:55-56 switching
+        # generate_object_center_camera -> generate_visible_object_center,
+        # base_postprocessor.py:485-560)
+        self.label_type = params.get("label_type", "lidar")
         heter = params.get("heter")
         self.modalities = (
             sorted(heter["modality_setting"].keys()) if heter else ["m1"]
@@ -164,8 +170,14 @@ class IntermediateAssembler:
             pmask[slot, :n] = True
 
         # fused labels in (clean) ego frame
+        def vis_of(agent_idx):
+            if self.label_type != "camera":
+                return None
+            return agents[agent_idx].get("bev_visibility")
+
         gt_ego, gt_mask = self._gt_in_frame(
-            scene["objects"], clean_poses[0], self.gt_range
+            scene["objects"], clean_poses[0], self.gt_range,
+            visibility_map=vis_of(keep[0]),
         )
         label = generate_targets(
             gt_ego, gt_mask, self.anchors, self.pos_thr, self.neg_thr,
@@ -252,7 +264,8 @@ class IntermediateAssembler:
             for slot in range(L):
                 if slot < n_valid:
                     gt_a, m_a = self._gt_in_frame(
-                        scene["objects"], clean_poses[keep[slot]], self.gt_range
+                        scene["objects"], clean_poses[keep[slot]],
+                        self.gt_range, visibility_map=vis_of(keep[slot]),
                     )
                     lab = generate_targets(
                         gt_a, m_a, self.anchors, self.pos_thr, self.neg_thr,
@@ -510,8 +523,16 @@ class IntermediateAssembler:
         ids = np.where(ok, yi * nx + xi, nx * ny)
         return points[np.argsort(ids, kind="stable")]
 
-    def _gt_in_frame(self, objects_world, pose, limit_range):
-        """World lwh boxes -> padded hwl boxes in the given agent frame."""
+    def _gt_in_frame(self, objects_world, pose, limit_range,
+                     visibility_map=None):
+        """World lwh boxes -> padded hwl boxes in the given agent frame.
+
+        visibility_map: optional (256, 256) ego BEV visibility raster
+        (label_type 'camera'): objects whose center falls on a zero cell
+        are dropped BEFORE the range mask, mirroring the reference's
+        two-stage filter (base_postprocessor.generate_visible_object_center
+        :485-560 -> box_utils.project_world_visible_objects:1269-1336).
+        """
         out = np.zeros((self.max_num, 7), dtype=np.float64)
         mask = np.zeros(self.max_num, dtype=np.float64)
         if objects_world is None or len(objects_world) == 0:
@@ -524,6 +545,10 @@ class IntermediateAssembler:
         boxes = np.concatenate(
             [centers, objs[:, 3:6], limit_period(objs[:, 6:7] + dyaw)], axis=1
         )
+        if visibility_map is not None:
+            boxes = boxes[box_np.camera_visible_mask(boxes, visibility_map)]
+            if len(boxes) == 0:
+                return out, mask
         _, m = box_np.mask_boxes_outside_range(
             boxes, limit_range, "lwh", min_num_corners=1, return_mask=True
         )

@@ -262,3 +262,25 @@ def box_decode(deltas: np.ndarray, anchors: np.ndarray) -> np.ndarray:
     out[:, 3:6] = np.exp(deltas[:, 3:6]) * anchors[:, 3:6]
     out[:, 6] = deltas[:, 6] + anchors[:, 6]
     return out
+
+
+def camera_visible_mask(boxes: np.ndarray, visibility_map: np.ndarray):
+    """Which boxes a camera rig can see, per the ego BEV visibility map.
+
+    Vectorization of the reference's box_is_visible
+    (box_utils.py:1236-1266): the map is 256x256 at 0.39 m/pixel,
+    ego-centered, heading up (py = 127 - x/0.39, px = 127 + y/0.39);
+    a box is visible iff the map is non-zero at its center cell.
+    boxes: (N, >=2) with ego-frame x, y in the first two columns.
+    """
+    if len(boxes) == 0:
+        return np.zeros(0, dtype=bool)
+    x = boxes[:, 0]
+    y = boxes[:, 1]
+    py = 127 - (x / 0.39).astype(np.int64)
+    px = 127 + (y / 0.39).astype(np.int64)
+    h, w = visibility_map.shape[:2]
+    inside = (py >= 0) & (py < h) & (px >= 0) & (px < w)
+    vis = np.zeros(len(boxes), dtype=bool)
+    vis[inside] = visibility_map[py[inside], px[inside]] > 0
+    return vis

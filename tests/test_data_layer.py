@@ -216,3 +216,76 @@ class TestPoseNoise:
         assert len(out) == 2
         delta = out[1] - np.ones(6)
         assert np.any(delta[:2] != 0) and delta[2] == 0
+
+
+class TestCameraVisibleGT:
+    """label_type 'camera': GT keeps only objects the ego's BEV
+    visibility raster marks visible (ref opv2v_basedataset.py:55-56 ->
+    base_postprocessor.generate_visible_object_center:485-560)."""
+
+    def _scene(self):
+        rng = np.random.default_rng(0)
+        # object A at (10, 0) directly in front of the ego; object B at
+        # (20, 0) hides exactly behind A; object C off to the side
+        objects = np.array(
+            [
+                [10.0, 0.0, 0.75, 4.0, 1.8, 1.5, 0.0],
+                [20.0, 0.0, 0.75, 4.0, 1.8, 1.5, 0.0],
+                [5.0, -12.0, 0.75, 4.0, 1.8, 1.5, 0.0],
+            ]
+        )
+        pose = [0.0, 0.0, 1.9, 0.0, 0.0, 0.0]
+        pts = rng.uniform(-30, 30, (500, 4)).astype(np.float32)
+        return objects, pose, pts
+
+    def _assemble(self, label_type, with_map):
+        from heal_tpu.data.scene import IntermediateAssembler
+        from heal_tpu.data.synthetic import bev_visibility_map
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        cfg["label_type"] = label_type
+        asm = IntermediateAssembler(cfg, train=True)
+        objects, pose, pts = self._scene()
+        agent = {"pose": pose, "modality": "m1", "points": pts}
+        if with_map:
+            agent["bev_visibility"] = bev_visibility_map(objects, pose)
+        return asm.assemble({"agents": [agent], "objects": objects})
+
+    def test_occluded_object_excluded_from_camera_labels(self):
+        lidar = self._assemble("lidar", with_map=True)
+        camera = self._assemble("camera", with_map=True)
+        assert lidar["gt_mask"].sum() == 3
+        assert camera["gt_mask"].sum() == 2
+        xs = camera["gt_boxes"][camera["gt_mask"] > 0][:, 0]
+        assert 10.0 in np.round(xs, 3)   # front object visible
+        assert 20.0 not in np.round(xs, 3)  # occluded object dropped
+
+    def test_missing_map_falls_back_to_range_gt(self):
+        # real trees without bev_visibility.png must still train
+        camera = self._assemble("camera", with_map=False)
+        assert camera["gt_mask"].sum() == 3
+
+    def test_synthetic_backend_emits_maps_for_camera_labels(self):
+        from heal_tpu.data.synthetic import SyntheticDataset
+
+        ds = SyntheticDataset(
+            {"label_type": "camera"}, train=True, num_scenes=1,
+            num_agents=2, num_vehicles=5,
+        )
+        scene = ds.scene(0)
+        for agent in scene["agents"]:
+            vm = agent["bev_visibility"]
+            assert vm.shape == (256, 256) and vm.dtype == np.uint8
+            assert vm.max() > 0
+
+    def test_camera_visible_mask_convention(self):
+        """box_is_visible rasterization parity: py = 127 - x/0.39,
+        px = 127 + y/0.39 (ref box_utils.py:1256-1266)."""
+        from heal_tpu.utils.box_np import camera_visible_mask
+
+        vm = np.zeros((256, 256), np.uint8)
+        vm[127 - int(10 / 0.39), 127 + int(4 / 0.39)] = 1
+        boxes = np.array([[10.0, 4.0], [10.0, -4.0], [999.0, 0.0]])
+        np.testing.assert_array_equal(
+            camera_visible_mask(boxes, vm), [True, False, False]
+        )
