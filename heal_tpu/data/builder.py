@@ -142,12 +142,29 @@ class FusionDataset:
     def anchors(self):
         return self.assembler.anchors
 
-    def batches(self, batch_size: int, shuffle: bool = True, seed: int = 0):
+    def batches(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        process_split: bool = True,
+    ):
         """Yield collated fixed-shape numpy batches (drops the remainder so
-        every batch compiles to the same executable)."""
+        every batch compiles to the same executable).
+
+        process_split: under multi-host jax, every host shuffles the same
+        epoch order (same seed) and takes its own disjoint, equal-length
+        slice — the DistributedSampler of the reference's DDP trainer
+        (train_ddp.py:45-60). No-op single-host.
+        """
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        if process_split:
+            from .prefetch import process_shard
+
+            lo, hi = process_shard(len(order))
+            order = order[lo:hi]
         for start in range(0, len(order) - batch_size + 1, batch_size):
             idxs = order[start : start + batch_size]
             samples = [self[i] for i in idxs]

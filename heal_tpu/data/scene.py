@@ -311,6 +311,16 @@ class IntermediateAssembler:
                 slots[j] = slot
             sample[f"slots_{m}"] = slots
             if self.sensor_type(m) == "lidar":
+                if cap == L and entries == list(range(len(entries))):
+                    # identity packing (single-modality case): ALIAS the
+                    # top-level arrays — collate and to_device dedupe by
+                    # object id, so the 5+ MB of points is stacked and
+                    # transferred ONCE per batch, not twice
+                    sample[f"inputs_{m}"] = {
+                        "points": sample["points"],
+                        "point_mask": sample["point_mask"],
+                    }
+                    continue
                 pts = np.zeros((cap,) + sample["points"].shape[1:],
                                np.float32)
                 msk = np.zeros((cap,) + sample["point_mask"].shape[1:],
@@ -560,10 +570,16 @@ class IntermediateAssembler:
         return out, mask
 
 
-def _stack(values):
+def _stack(values, memo=None):
     if isinstance(values[0], dict):
-        return {k: _stack([v[k] for v in values]) for k in values[0]}
-    return np.stack(values)
+        return {k: _stack([v[k] for v in values], memo) for k in values[0]}
+    if memo is None:
+        return np.stack(values)
+    # aliased per-sample arrays (identity modality packing) stack once
+    key = tuple(id(v) for v in values)
+    if key not in memo:
+        memo[key] = np.stack(values)
+    return memo[key]
 
 
 def collate(samples: list, modalities=("m1",)) -> dict:
@@ -574,9 +590,10 @@ def collate(samples: list, modalities=("m1",)) -> dict:
     ``inputs_mX``/``slots_mX`` packings with static per-modality capacity.
     """
     batch = {}
+    memo: dict = {}
     for k in samples[0].keys():
         if k == "agent_samples":  # late-fusion test-time per-agent list
             batch[k] = [s[k] for s in samples]
             continue
-        batch[k] = _stack([s[k] for s in samples])
+        batch[k] = _stack([s[k] for s in samples], memo)
     return batch

@@ -192,7 +192,20 @@ class Trainer:
 
 
 def to_device(batch: dict) -> dict:
-    """numpy batch -> jnp (host->device boundary; ref train_utils.to_device)."""
-    return jax.tree.map(
-        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, batch
-    )
+    """numpy batch -> jnp (host->device boundary; ref train_utils.to_device).
+
+    Deduplicates by object id: collate aliases identical arrays (e.g.
+    ``points`` and the identity-packed ``inputs_m1/points``), so each
+    unique buffer crosses the host->device link exactly once.
+    """
+    memo: dict = {}
+
+    def conv(x):
+        if not isinstance(x, np.ndarray):
+            return x
+        key = id(x)
+        if key not in memo:
+            memo[key] = jnp.asarray(x)
+        return memo[key]
+
+    return jax.tree.map(conv, batch)

@@ -156,7 +156,12 @@ def run_inference(
     n_batches = 0
     comm_rates = []
     dropped_agents = 0
-    for batch in dataset.batches(1, shuffle=False):
+    from ..data.prefetch import prefetch
+
+    # full test set on every host (AP must not depend on process count)
+    for batch in prefetch(
+        dataset.batches(1, shuffle=False, process_split=False)
+    ):
         dropped_agents += int(
             np.sum(batch.get("dropped_agent_count", 0))
         )

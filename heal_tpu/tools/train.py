@@ -203,18 +203,27 @@ def main(argv=None):
         else:
             if hasattr(train_ds.backend, "reinitialize"):
                 train_ds.backend.reinitialize(seed=epoch)
-            epoch_batches = (
-                trainer.shard_batch(to_device(b))
-                for b in train_ds.batches(batch_size, shuffle=True,
-                                          seed=epoch)
+            # double-buffered pipeline: a worker thread assembles and
+            # transfers batch k+1 while the device runs step k
+            # (data/prefetch.py; replaces the reference's DataLoader
+            # workers, train.py:42-57)
+            from ..data.prefetch import prefetch
+
+            epoch_batches = prefetch(
+                train_ds.batches(batch_size, shuffle=True, seed=epoch),
+                lambda b: trainer.shard_batch(to_device(b)),
+                depth=3,
             )
         t0 = time.time()
         losses = []
         for batch in epoch_batches:
             state, aux = trainer.train_step(state, batch)
+            # keep device scalars; ONE sync at epoch end (each float()
+            # here would cost a full dispatch round-trip per step)
             losses.append(
-                {k: float(v) for k, v in aux.items() if v.ndim == 0}
+                {k: v for k, v in aux.items() if v.ndim == 0}
             )
+        losses = jax.tree.map(float, losses)
         dt = time.time() - t0
         mean_aux = {
             k: float(np.mean([x[k] for x in losses if k in x]))

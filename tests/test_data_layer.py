@@ -289,3 +289,62 @@ class TestCameraVisibleGT:
         np.testing.assert_array_equal(
             camera_visible_mask(boxes, vm), [True, False, False]
         )
+
+
+class TestPrefetchPipeline:
+    def test_prefetch_preserves_order_and_transform(self):
+        from heal_tpu.data.prefetch import prefetch
+
+        got = list(prefetch(iter(range(7)), transform=lambda x: x * 10,
+                            depth=3))
+        assert got == [0, 10, 20, 30, 40, 50, 60]
+
+    def test_prefetch_propagates_worker_errors(self):
+        from heal_tpu.data.prefetch import prefetch
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(bad())
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+
+    def test_process_shard_single_host_is_identity(self):
+        from heal_tpu.data.prefetch import process_shard
+
+        assert process_shard(10) == (0, 10)
+
+    def test_process_shard_multi_host_disjoint_equal(self, monkeypatch):
+        import jax
+
+        from heal_tpu.data.prefetch import process_shard
+
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        shards = []
+        for rank in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+            shards.append(process_shard(11))
+        # equal-length, disjoint, remainder dropped
+        assert shards == [(0, 2), (2, 4), (4, 6), (6, 8)]
+
+    def test_train_batches_split_by_process(self, monkeypatch):
+        import jax
+
+        from heal_tpu.data import build_dataset
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        ds = build_dataset(cfg, train=True)
+        full = [b["gt_boxes"][0, 0] for b in ds.batches(1, shuffle=False)]
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        seen = []
+        for rank in range(2):
+            monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+            seen.append(
+                [b["gt_boxes"][0, 0] for b in ds.batches(1, shuffle=False)]
+            )
+        assert len(seen[0]) == len(seen[1]) == len(full) // 2
+        np.testing.assert_array_equal(
+            np.concatenate([np.stack(s) for s in seen]), np.stack(full)
+        )
