@@ -341,7 +341,8 @@ class PointPillarEncoder(nn.Module):
         from ..ops import pallas_pillar as pp
 
         nx, ny = self.grid_nx, self.grid_ny
-        cells = nx * ny + 1
+        cells = nx * ny + 1  # table-space per-sample stride (drop bucket)
+        stride = nx * ny  # canvas-space per-sample stride (no bucket)
         f = self.num_filters[0]
         s_total = b * cells
         n = fi.shape[0]
@@ -374,7 +375,7 @@ class PointPillarEncoder(nn.Module):
         geom = jnp.zeros((f,), jnp.float32).at[:8].set(
             jnp.asarray(
                 [vx, vy, x0 + vx / 2, y0 + vy / 2, z0 + vz / 2,
-                 float(nx), float(cells), float(s_total)],
+                 float(nx), float(stride), 0.0],
                 jnp.float32,
             )
         )
@@ -388,13 +389,19 @@ class PointPillarEncoder(nn.Module):
             axis=0,
         )  # (8, F)
 
+        # cells handed to the kernel are CANVAS-space (samp * ny*nx + id,
+        # i.e. table id minus one drop slot per preceding sample); the
+        # kernel suppresses drop-bucket runs, so no bucket exists in the
+        # canvas and the reshape below is free (the old table-space
+        # layout needed a [:, :ny*nx] slice = an 80+ MB canvas copy)
+        samp = fi // cells
         vals, cells_tab = pp.pillar_tables(
             u,
             g4,
             cidx,
             ends,
-            fi.astype(jnp.float32),
-            (fi // cells).astype(jnp.float32),
+            (fi - samp).astype(jnp.float32),
+            samp.astype(jnp.float32),
             consts,
             # interpreter off-TPU (testing via HEAL_TPU_FORCE_PALLAS)
             interpret=jax.default_backend() != "tpu",
@@ -403,10 +410,9 @@ class PointPillarEncoder(nn.Module):
         # (cell, value) payload (the kernel forward-fills gap rows with
         # the previous run's final value), so the expand is a SORTED
         # scatter-SET: pure writes, no read-modify-add
-        canvas = jnp.zeros((s_total, f), u.dtype).at[cells_tab[:, 0]].set(
-            vals.astype(u.dtype), indices_are_sorted=True, mode="drop"
-        )
-        canvas = canvas.reshape(b, cells, -1)[:, : nx * ny]
+        canvas = jnp.zeros((b * stride, f), u.dtype).at[
+            cells_tab[:, 0]
+        ].set(vals.astype(u.dtype), indices_are_sorted=True, mode="drop")
         return canvas.reshape(b, ny, nx, -1)
 
     def _decorate(self, pts, ids, valid, num_segments):
