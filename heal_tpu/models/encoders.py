@@ -406,13 +406,12 @@ class PointPillarEncoder(nn.Module):
             # interpreter off-TPU (testing via HEAL_TPU_FORCE_PALLAS)
             interpret=jax.default_backend() != "tpu",
         )
-        # cells are monotone and every duplicate row carries an identical
-        # (cell, value) payload (the kernel forward-fills gap rows with
-        # the previous run's final value), so the expand is a SORTED
-        # scatter-SET: pure writes, no read-modify-add
+        # cells are monotone; gap rows repeat the previous run's cell
+        # with a ZERO payload, so the expand is a SORTED scatter-ADD
+        # (duplicates contribute nothing)
         canvas = jnp.zeros((b * stride, f), u.dtype).at[
             cells_tab[:, 0]
-        ].set(vals.astype(u.dtype), indices_are_sorted=True, mode="drop")
+        ].add(vals.astype(u.dtype), indices_are_sorted=True, mode="drop")
         return canvas.reshape(b, ny, nx, -1)
 
     def _decorate(self, pts, ids, valid, num_segments):

@@ -11,24 +11,26 @@ runs and the whole reduction is one streaming pass:
   * sequential TPU grid over blocks of P points; a VMEM carry holds the
     partial (sum, max) of the run in progress at each block boundary;
   * in-block segmented inclusive scan (log2 P shifted select steps on
-    the VPU);
-  * run-end rows are gathered to block-local positions with a one-hot
-    (P, P) matmul on the MXU — no scatter;
+    the VPU) — run-END rows then hold their run's full reductions;
   * the per-pillar epilogue (cluster-mean term, pillar-center term,
-    BatchNorm affine, ReLU) runs on the placed rows, so the kernel emits
-    FINAL pillar values together with their BEV cell ids.
+    BatchNorm affine, ReLU) runs in place on every row; a narrow forward
+    fill (log2 P scan over the 8-lane cell column) replicates each
+    finished run's CELL over the following non-end rows, whose value
+    payload stays zero.
 
-Each block emits exactly P output rows — its finished runs, with gap
-rows forward-filled as exact duplicates of the previous run — so outputs
-stream through the standard block pipeline (no dynamic stores). One XLA
-scatter remains downstream: expanding the (cell, value) rows onto the
-dense BEV canvas with ``mode="drop"`` (models/encoders.py:_pallas_eval).
+Each block emits exactly P output rows — run-END rows carry their run's
+final value, gap rows the previous run's cell with a zero payload — so
+outputs stream through the standard block pipeline (no dynamic stores)
+and the cells column stays globally monotone. One XLA scatter remains
+downstream: a sorted scatter-ADD expanding the (cell, value) rows onto
+the dense BEV canvas with ``mode="drop"``
+(models/encoders.py:_pallas_eval); zero gap payloads add nothing.
 
 Cells are CANVAS-space (per-sample stride ny*nx, no drop bucket): runs
 whose within-sample cell id lands in the drop bucket (>= ny*nx — points
 outside the lidar range or padding) are suppressed in-kernel (treated as
-"no finished run", so they forward-fill the previous real run's row).
-The canvas expand therefore scatters straight into the final
+"no finished run", so gap rows keep pointing at the previous real run's
+cell). The canvas expand therefore scatters straight into the final
 (B*ny*nx, F) buffer and reshapes for free — no post-scatter slice copy
 of the 80+ MB canvas to strip a drop bucket.
 
@@ -45,10 +47,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# 256 measured ~7% faster than 512 end-to-end at 150k points on v5e (the
-# grid is sequential; smaller blocks shorten the per-block one-hot matmul
-# + scan dependency chains more than they add block-count overhead)
-P_BLOCK = 256
+import os
+
+# With the (P, P) one-hot placement matmuls gone (see _kernel), per-block
+# work is ~linear in P. A/B at 150k points on v5e (kernel stage,
+# ms/frame): 256 -> 2.44, 512 -> 2.38, 1024 -> 2.44, 2048 -> VMEM OOM.
+P_BLOCK = int(os.environ.get("HEAL_TPU_P_BLOCK", "512"))
 NEG = -1e30  # max-identity; -inf breaks (inf - inf) in downstream algebra
 
 
@@ -75,7 +79,6 @@ def _kernel(
     carry_u,  # VMEM (1, F) f32
     carry_g,  # VMEM (1, 4) f32
     carry_cell,  # VMEM (1, 8) f32: cell of the last finished run
-    carry_vals,  # VMEM (1, F) f32: its final value row
 ):
     pid = pl.program_id(0)
     p, f = u_ref.shape
@@ -84,10 +87,12 @@ def _kernel(
     def _():
         carry_u[:] = jnp.full((1, f), NEG, jnp.float32)
         carry_g[:] = jnp.zeros((1, 4), jnp.float32)
-        # before any run finishes, gap rows point one cell below the
-        # global minimum cell (an untouched canvas row; dropped if < 0)
-        carry_cell[:] = jnp.full((1, 8), cellf_ref[0, 0] - 1.0, jnp.float32)
-        carry_vals[:] = jnp.zeros((1, f), jnp.float32)
+        # before any run finishes, gap rows point at cell -2: the +0.5
+        # int cast below truncates toward zero, so -2 lands at index -1,
+        # which the canvas scatter's mode="drop" discards. (cellf[0] - 1
+        # would collide with REAL cell 0 when cellf[0] == 0: -1 + 0.5
+        # truncates to 0, writing zeros over cell 0's actual pillar.)
+        carry_cell[:] = jnp.full((1, 8), -2.0, jnp.float32)
 
     rel = cidx_ref[:] - cidx_ref[0:1, :]  # (P, 1) int32, 0..P-1
     ends = ends_ref[:]  # (P, 1) int32
@@ -119,45 +124,19 @@ def _kernel(
         last_end == 1, jnp.zeros((1, 4), jnp.float32), g[p - 1 : p]
     )
 
-    # place run-end rows at their block-local row (= rel) via a one-hot
-    # matmul on the MXU: placed[r] = sum_i [rel_i == r and end_i] * row_i
-    iota_r = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
-    onehot = (
-        (iota_r == rel.reshape(1, p)) & (ends.reshape(1, p) == 1)
-    ).astype(jnp.float32)
-    ones = jnp.ones((p, 1), jnp.float32)
-    # split by required precision: the max columns are bf16-valued (a max
-    # of bf16 inputs) so they tolerate the MXU's default bf16 operand
-    # truncation; the CELL ID columns (> 2^8) and the f32 run sums must
-    # place exactly — a full-width HIGHEST dot would cost 6 f32 MXU
-    # passes over all F lanes, so the exact columns ride a narrow dot
-    # bf16 inputs: the scanned maxima stay exactly bf16-representable, so
-    # placement (one nonzero per output row) is exact in a bf16 MXU pass
-    # and 4x cheaper than f32; f32 inputs keep the f32 pass
-    place_dt = (
-        jnp.bfloat16 if u_ref.dtype == jnp.bfloat16 else jnp.float32
-    )
-    placed = jnp.dot(
-        onehot.astype(place_dt),
-        u.astype(place_dt),
-        preferred_element_type=jnp.float32,
-    )
-    meta = jnp.concatenate(
-        [cellf_ref[:], sampf_ref[:], ones, g, jnp.zeros((p, 1), jnp.float32)],
-        axis=1,
-    )  # (P, 8)
-    placed_meta = jnp.dot(
-        onehot,
-        meta,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    pu = placed[:, :f]
-    pcell = placed_meta[:, 0:1]
-    psamp = placed_meta[:, 1:2]
-    has = placed_meta[:, 2:3] > 0.5
-    pg3 = placed_meta[:, 3:6]
-    cnt = placed_meta[:, 6:7]
+    # run-END rows already hold their run's full reductions (inclusive
+    # scan + carry fold), so the epilogue runs IN PLACE on every row and
+    # the forward fill below propagates finished (cell, value) pairs over
+    # the non-end rows. (An earlier revision compacted run-end rows to
+    # block-local positions with (P, P) one-hot MXU matmuls first — the
+    # placement is unnecessary given the fill, and the quadratic matmuls
+    # were ~40% of kernel time at P=256.)
+    pu = u
+    pcell = cellf_ref[:]
+    psamp = sampf_ref[:]
+    has = ends == 1
+    pg3 = g[:, 0:3]
+    cnt = g[:, 3:4]
 
     w1 = consts_ref[0:3, :]
     w2 = consts_ref[3:6, :]
@@ -193,39 +172,33 @@ def _kernel(
     )
     final_vals = jnp.where(has, jnp.maximum(pu + tb, 0.0), 0.0)
 
-    # rows with no finished run replicate the PREVIOUS real row's
-    # (cell, VALUE) pair — a joint forward fill. Every output row then
-    # carries a consistent (cell, value): duplicates are bit-identical,
-    # so the canvas expansion can be a pure scatter-SET (write-only, no
-    # read-modify-add) with any tie order, and the cells column stays
-    # globally monotone (sorted-scatter fast path). Rows before the
-    # first finished run anywhere take the carry from the previous block
-    # (or the sub-minimum init cell with zero values in block 0).
+    # rows with no finished run replicate the PREVIOUS real row's CELL
+    # with a ZERO payload (final_vals is already zero there) — the canvas
+    # expansion is then a sorted scatter-ADD: gap rows contribute nothing
+    # to the real cell they point at, and the cells column stays globally
+    # monotone (sorted-scatter fast path). Only the narrow (P, 8) cell
+    # column needs a forward fill; the (P, F) value fill of an earlier
+    # revision (which enabled a scatter-SET) cost a second full-width
+    # log2 P scan for no semantic gain.
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (p, 8), 0).astype(
         jnp.float32
     )
     # meta8 lanes: [0]=tag (row index of last finished run, -1 = none),
-    # [1]=cell; values ride a parallel (P, F) array selected by the same
-    # key (lane-aligned shapes keep Mosaic's layout passes happy)
+    # [1]=cell (lane-aligned shapes keep Mosaic's layout passes happy)
     col8 = jax.lax.broadcasted_iota(jnp.int32, (p, 8), 1)
     tag8 = jnp.where(has, row_ids, -1.0)
     meta8 = jnp.where(col8 == 0, tag8, jnp.where(col8 == 1, pcell, 0.0))
-    payf = final_vals
     d = 1
     while d < p:
         s8 = _shift_down(meta8, d, -1.0)
-        sf = _shift_down(payf, d, 0.0)
         take = s8[:, 0:1] > meta8[:, 0:1]
         meta8 = jnp.where(take, s8, meta8)
-        payf = jnp.where(take, sf, payf)
         d *= 2
     none_yet = meta8[:, 0:1] < 0.0
     cellcol = jnp.where(none_yet, carry_cell[:, 0:1], meta8[:, 1:2])
-    payf = jnp.where(none_yet, carry_vals[:], payf)
     carry_cell[:] = jnp.broadcast_to(cellcol[p - 1 : p], (1, 8))
-    carry_vals[:] = payf[p - 1 : p]
 
-    vals_ref[:] = payf.astype(vals_ref.dtype)
+    vals_ref[:] = final_vals.astype(vals_ref.dtype)
     cells_ref[:] = jnp.broadcast_to(cellcol + 0.5, (p, 8)).astype(
         jnp.int32
     )
@@ -245,8 +218,10 @@ def pillar_tables(
     """-> (vals (N, F), cells (N, 8) int32). See module docstring.
 
     N must be a multiple of P_BLOCK (callers pad with sentinel-cell
-    points). Output row k*P+r holds the r-th run finishing in block k;
-    rows without a finished run carry the OOB sentinel cell.
+    points). Output row i holds (cell, final value) if a run ends at
+    point i, else (cell of the latest finished run, zeros) — expand with
+    a sorted scatter-ADD; rows before any finished run carry cell -1
+    (dropped by the scatter).
     """
     n, f = u.shape
     assert n % P_BLOCK == 0, n
@@ -276,7 +251,6 @@ def pillar_tables(
             pltpu.VMEM((1, f), jnp.float32),
             pltpu.VMEM((1, 4), jnp.float32),
             pltpu.VMEM((1, 8), jnp.float32),
-            pltpu.VMEM((1, f), jnp.float32),
         ],
         interpret=interpret,
     )(

@@ -130,6 +130,8 @@ def _shift_cols(
     return out.transpose(1, 0, 2)
 
 
+
+
 def affine_warp_shear(src: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     """Rigid-affine warp via 3-shear (Paeth) decomposition — gather-free.
 
@@ -216,6 +218,10 @@ def affine_warp_shear(src: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
     # shifts (zero-filled) for the clipped remainder on the small output
     rem_y = (want_y - off_y).astype(jnp.float32)
     rem_x = (want_x - off_x).astype(jnp.float32)
+    # constant shifts, but kept in the banded-matmul form: a pad +
+    # traced-start dynamic_slice variant measured ~0.6 ms/frame SLOWER at
+    # flagship scale (the slice breaks XLA's fusion and materializes the
+    # padded canvas; the band einsum stays on the MXU)
     out = _shift_rows(
         out, jnp.clip(rem_x, -w, w) * jnp.ones((h,), jnp.float32), w
     )
