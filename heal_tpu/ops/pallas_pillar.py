@@ -53,6 +53,11 @@ import os
 # work is ~linear in P. A/B at 150k points on v5e (kernel stage,
 # ms/frame): 256 -> 2.44, 512 -> 2.38, 1024 -> 2.44, 2048 -> VMEM OOM.
 P_BLOCK = int(os.environ.get("HEAL_TPU_P_BLOCK", "512"))
+if P_BLOCK < 8 or P_BLOCK % 8 != 0:
+    raise ValueError(
+        f"HEAL_TPU_P_BLOCK={P_BLOCK}: must be a positive multiple of 8 "
+        "(TPU sublane tiling); callers pad point counts to this block size"
+    )
 NEG = -1e30  # max-identity; -inf breaks (inf - inf) in downstream algebra
 
 
@@ -87,12 +92,14 @@ def _kernel(
     def _():
         carry_u[:] = jnp.full((1, f), NEG, jnp.float32)
         carry_g[:] = jnp.zeros((1, 4), jnp.float32)
-        # before any run finishes, gap rows point at cell -2: the +0.5
-        # int cast below truncates toward zero, so -2 lands at index -1,
-        # which the canvas scatter's mode="drop" discards. (cellf[0] - 1
-        # would collide with REAL cell 0 when cellf[0] == 0: -1 + 0.5
-        # truncates to 0, writing zeros over cell 0's actual pillar.)
-        carry_cell[:] = jnp.full((1, 8), -2.0, jnp.float32)
+        # before any run finishes, gap rows point at cell -1: the +0.5
+        # int cast below truncates toward zero, so the emitted index is 0.
+        # Harmless under the downstream scatter-ADD (the payload of such
+        # rows is exactly zero), and it keeps the emitted index column
+        # genuinely monotone. (A negative emitted index would NOT be
+        # dropped by mode="drop" — XLA normalizes negative indices first,
+        # wrapping -1 to the canvas' last row and breaking monotonicity.)
+        carry_cell[:] = jnp.full((1, 8), -1.0, jnp.float32)
 
     rel = cidx_ref[:] - cidx_ref[0:1, :]  # (P, 1) int32, 0..P-1
     ends = ends_ref[:]  # (P, 1) int32
@@ -220,8 +227,9 @@ def pillar_tables(
     N must be a multiple of P_BLOCK (callers pad with sentinel-cell
     points). Output row i holds (cell, final value) if a run ends at
     point i, else (cell of the latest finished run, zeros) — expand with
-    a sorted scatter-ADD; rows before any finished run carry cell -1
-    (dropped by the scatter).
+    a sorted scatter-ADD; rows before any finished run carry cell 0 with
+    a zero payload (adds nothing under scatter-ADD, keeps the index
+    column monotone).
     """
     n, f = u.shape
     assert n % P_BLOCK == 0, n

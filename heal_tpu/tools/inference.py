@@ -158,6 +158,40 @@ def run_inference(
     dropped_agents = 0
     from ..data.prefetch import prefetch
 
+    # camera depth RMSE (ref tools/inference_utils.py:190): per-modality
+    # grid_conf for mapping bin indices back to metric depth
+    depth_grid_confs = {}
+    for m, setting in cfg.get("heter", {}).get(
+        "modality_setting", {}
+    ).items():
+        if setting.get("sensor_type") == "camera" and "grid_conf" in setting:
+            depth_grid_confs[m] = setting["grid_conf"]
+    if "grid_conf" in cfg.get("model", {}).get("args", {}):
+        depth_grid_confs[None] = cfg["model"]["args"]["grid_conf"]
+    depth_sse: dict = {}
+
+    def _accumulate_depth(out, batch):
+        from ..utils import camera as cam_utils
+
+        for k, v in out.items():
+            if not k.startswith("depth_items"):
+                continue
+            m = k[len("depth_items_"):] or None
+            gt = (
+                batch.get(f"inputs_{m}", {}).get("depth_bins")
+                if m
+                else batch.get("depth_bins")
+            )
+            gc = depth_grid_confs.get(m) or depth_grid_confs.get(None)
+            if gt is None or gc is None:
+                continue
+            sse, n = cam_utils.depth_metric(
+                jax.device_get(v), gt, gc["ddiscr"], gc["mode"]
+            )
+            acc = depth_sse.setdefault(m or "", [0.0, 0])
+            acc[0] += sse
+            acc[1] += n
+
     # full test set on every host (AP must not depend on process count)
     for batch in prefetch(
         dataset.batches(1, shuffle=False, process_split=False)
@@ -172,6 +206,7 @@ def run_inference(
             out = infer(jbatch)
             if "comm_rate" in out:  # where2comm bandwidth metric
                 comm_rates.append(float(out["comm_rate"]))
+            _accumulate_depth(out, batch)
             if "rcnn_cls" in out:
                 # two-stage (FPV-RCNN): evaluate the REFINED collaborative
                 # detections, not the per-agent stage-1 heads
@@ -220,6 +255,13 @@ def run_inference(
     if comm_rates:
         result["comm_rate"] = float(np.mean(comm_rates))
         print(f"[inference] comm_rate {result['comm_rate']:.4f}")
+    for m, (sse, n) in sorted(depth_sse.items()):
+        if n == 0:
+            continue
+        rmse = float(np.sqrt(sse / n))
+        key = f"depth_rmse_{m}" if m else "depth_rmse"
+        result[key] = rmse
+        print(f"[inference] {key} {rmse:.4f} m over {n} px")
     result["dropped_agent_count"] = dropped_agents
     if dropped_agents:
         print(

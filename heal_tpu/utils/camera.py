@@ -80,6 +80,33 @@ def bin_depths(depth_map, mode, d_min, d_max, num_bins, target=True):
     return np.floor(idx).astype(np.int64), mask
 
 
+def depth_metric(depth_logits, gt_bins, ddiscr, mode: str):
+    """Depth-estimation RMSE for the camera branch.
+
+    Ref tools/inference_utils.py:190-198 (``depth_metric``): argmax the
+    per-pixel depth-bin logits, map predicted and GT bin indices back to
+    metric depth with ``indices_to_depth``, RMSE over pixels. Unlike the
+    reference (whose GT indices are clamped into [0, num_bins-1] and all
+    pixels counted), pixels without a lidar return — our GT convention
+    marks them ``gt == num_bins`` (see bin_depths target mode) — are
+    excluded: they carry no depth information.
+
+    Returns ``(sse, n_valid)`` so callers can accumulate across frames;
+    per-frame rmse = sqrt(sse / n_valid) when n_valid > 0.
+    """
+    d_min, d_max, n_bins = ddiscr
+    logits = np.asarray(depth_logits)
+    gt = np.asarray(gt_bins).reshape(-1)
+    pred = np.argmax(logits.reshape(-1, logits.shape[-1]), axis=-1)
+    assert pred.shape == gt.shape, (pred.shape, gt.shape)
+    valid = gt < n_bins
+    if not valid.any():
+        return 0.0, 0
+    pred_d = indices_to_depth(pred[valid], d_min, d_max, n_bins, mode)
+    gt_d = indices_to_depth(gt[valid], d_min, d_max, n_bins, mode)
+    return float(((pred_d - gt_d) ** 2).sum()), int(valid.sum())
+
+
 IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
 

@@ -50,6 +50,41 @@ class TestCameraUtils:
         idx, mask = bin_depths(np.array([0.5, 80.0]), "SID", 2, 50, 16)
         assert not mask.any() and (idx == 16).all()
 
+    def test_depth_metric_rmse(self):
+        """depth_metric (ref tools/inference_utils.py:190): argmax bins
+        -> metric depth -> RMSE, no-return pixels (gt == num_bins)
+        excluded."""
+        from heal_tpu.utils.camera import depth_metric, indices_to_depth
+
+        n_bins = 8
+        ddiscr = (2.0, 50.0, n_bins)
+        rng = np.random.RandomState(0)
+        gt = rng.randint(0, n_bins, (2, 3, 4)).astype(np.int64)
+        gt[0, 0, :2] = n_bins  # no lidar return -> excluded
+        # logits whose argmax equals gt where valid, off-by-one elsewhere
+        pred_idx = np.where(gt < n_bins, gt, 0)
+        logits = np.eye(n_bins, dtype=np.float32)[pred_idx.reshape(-1)]
+        logits = logits.reshape(2, 3, 4, n_bins)
+        sse, n = depth_metric(logits, gt, ddiscr, "LID")
+        assert n == int((gt < n_bins).sum())
+        assert sse == 0.0  # perfect prediction on valid pixels
+
+        # shift every prediction one bin up: known per-pixel errors
+        pred_idx2 = np.clip(pred_idx + 1, 0, n_bins - 1)
+        logits2 = np.eye(n_bins, dtype=np.float32)[pred_idx2.reshape(-1)]
+        logits2 = logits2.reshape(2, 3, 4, n_bins)
+        sse2, n2 = depth_metric(logits2, gt, ddiscr, "LID")
+        valid = gt < n_bins
+        d_pred = indices_to_depth(pred_idx2[valid], 2.0, 50.0, n_bins, "LID")
+        d_gt = indices_to_depth(gt[valid], 2.0, 50.0, n_bins, "LID")
+        np.testing.assert_allclose(sse2, ((d_pred - d_gt) ** 2).sum(),
+                                   rtol=1e-12)
+        assert n2 == n
+
+        # all pixels invalid -> (0, 0), no div-by-zero
+        assert depth_metric(logits, np.full_like(gt, n_bins), ddiscr,
+                            "LID") == (0.0, 0)
+
     def test_indices_to_depth_ud_lid(self):
         from heal_tpu.utils.camera import (
             depth_discretization,
@@ -352,6 +387,44 @@ class TestRealCameraIngest:
 
 
 class TestHeterM1M2:
+    @pytest.mark.slow
+    def test_inference_reports_depth_rmse(self, tmp_path):
+        """Camera-path inference reports depth RMSE alongside AP
+        (VERDICT r4 item 7; ref tools/inference_utils.py:190)."""
+        import jax
+
+        from heal_tpu.config import load_yaml
+        from heal_tpu.config.loader import save_yaml
+        from heal_tpu.data import build_dataset
+        from heal_tpu.models import build_model
+        from heal_tpu.tools import checkpoint as ck
+        from heal_tpu.tools.inference import run_inference
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_heter_m1m2.yaml"))
+        cfg["fusion"]["args"]["num_agents"] = 2
+        model_dir = str(tmp_path / "m1m2_run")
+        os.makedirs(model_dir)
+        save_yaml(cfg, os.path.join(model_dir, "config.yaml"))
+
+        ds = build_dataset(cfg, train=False)
+        model = build_model(cfg["model"])
+        from heal_tpu.parallel.trainer import to_device
+
+        batch = to_device(next(ds.batches(1, shuffle=False)))
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        ck.save_checkpoint(
+            model_dir,
+            {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            },
+            1,
+        )
+        result = run_inference(model_dir, max_batches=2, note="m1m2")
+        assert "depth_rmse_m2" in result, sorted(result)
+        assert np.isfinite(result["depth_rmse_m2"])
+        assert result["depth_rmse_m2"] >= 0
+
     @pytest.mark.slow
     def test_two_modality_train_step(self):
         import jax

@@ -107,6 +107,95 @@ def test_pillar_tables_matches_reference(seed, n_pts, f, cells_hw):
                 assert c in real, c
 
 
+def test_canvas_space_drop_bucket_suppression():
+    """Encoder convention (models/encoders.py:_pallas_eval): CANVAS-space
+    cellf (= table id minus one drop slot per preceding sample), geom
+    stride lane = ny*nx, drop-bucket points at within-sample id ny*nx,
+    pad sentinel at table id b*cells. Asserts the in-kernel suppression:
+    drop-bucket runs emit zero payloads, gap rows keep the previous REAL
+    cell, emitted indices are >= 0 and monotone, and the canvas equals
+    the XLA reference restricted to real cells.
+    """
+    f = 64
+    nx, ny = 16, 8
+    stride = nx * ny
+    cells = stride + 1  # table-space stride (with drop bucket)
+    b = 2
+    rng = np.random.RandomState(3)
+    pb = pp.P_BLOCK
+    n_real = 2 * pb - 37  # force sentinel padding
+    # per-sample sorted ids in [0, cells): real pillars AND drop bucket
+    ids = rng.randint(0, cells, n_real // b * b)
+    # make sure both samples have drop-bucket points and sample 0's
+    # first run is longer than one point (exercises the carry_cell init)
+    ids[:3] = 0
+    ids[3:6] = stride
+    ids = np.sort(ids.reshape(b, -1), 1)
+    fi = (ids + np.arange(b)[:, None] * cells).reshape(-1).astype(np.int32)
+    n = len(fi)
+    u = rng.randn(n, f).astype(np.float32)
+    g4 = np.concatenate(
+        [rng.randn(n, 3).astype(np.float32),
+         np.ones((n, 1), np.float32)], axis=1)
+    w1 = rng.randn(3, f).astype(np.float32)
+    w2 = rng.randn(3, f).astype(np.float32)
+    b_aff = rng.randn(f).astype(np.float32)
+    vx, vy = 0.4, 0.4
+    geom0 = (0.2, 0.2, -1.0)
+    s_total = b * cells
+
+    # --- kernel, encoder convention ---
+    npad = -n % pb
+    fi_p = np.concatenate([fi, np.full(npad, s_total, np.int32)])
+    u_p = np.pad(u, ((0, npad), (0, 0)))
+    g4_p = np.pad(g4, ((0, npad), (0, 0)))
+    prev = np.concatenate([fi_p[:1] - 1, fi_p[:-1]])
+    cidx = (np.cumsum(fi_p != prev) - 1).astype(np.int32)
+    nxt = np.concatenate([fi_p[1:], fi_p[-1:] + 1])
+    ends = (fi_p != nxt).astype(np.int32)
+    samp = fi_p // cells
+    cellf = (fi_p - samp).astype(np.float32)  # canvas-space
+    geom = np.zeros(f, np.float32)
+    geom[:8] = [vx, vy, geom0[0], geom0[1], geom0[2],
+                float(nx), float(stride), 0.0]
+    consts = np.concatenate(
+        [w1, w2, b_aff[None], geom[None]], 0).astype(np.float32)
+    vals, cells_tab = pp.pillar_tables(
+        jnp.asarray(u_p), jnp.asarray(g4_p), jnp.asarray(cidx),
+        jnp.asarray(ends), jnp.asarray(cellf),
+        jnp.asarray(samp, jnp.float32), jnp.asarray(consts),
+        interpret=True,
+    )
+    ct = np.asarray(cells_tab)[:, 0]
+    out_vals = np.asarray(vals)
+
+    assert (ct >= 0).all(), "no negative emitted indices (would wrap)"
+    assert (np.diff(ct) >= 0).all(), "cells column must be monotone"
+    # suppressed (drop-bucket) and sentinel cells never carry payload
+    # inside the canvas: every nonzero row's cell is a REAL canvas cell
+    real_canvas = {
+        int(t - t // cells) for t in fi if t % cells != stride
+    }
+    for c, v in zip(ct, out_vals):
+        if np.abs(v).max() > 0 and c < b * stride:
+            assert c in real_canvas, c
+    # rows before the first finished run: cell 0, zero payload
+    first_end = int(np.argmax(ends))
+    if first_end > 0:
+        assert (ct[:first_end] == 0).all()
+        assert np.abs(out_vals[:first_end]).max() == 0
+
+    canvas = jnp.zeros((b * stride, f), jnp.float32).at[ct].add(
+        vals.astype(jnp.float32), indices_are_sorted=True, mode="drop")
+
+    # --- reference: table-space dense result, drop bucket sliced off ---
+    ref = reference(fi, u, g4, w1, w2, b_aff, s_total, nx, cells, vx, vy,
+                    geom0)
+    ref = np.asarray(ref).reshape(b, cells, f)[:, :stride].reshape(-1, f)
+    np.testing.assert_allclose(np.asarray(canvas), ref, rtol=2e-5,
+                               atol=2e-5)
+
+
 def test_run_spanning_many_blocks():
     # one giant run across 3+ blocks + tail runs: carry correctness
     f = 64
