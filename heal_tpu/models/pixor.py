@@ -82,10 +82,22 @@ class Pixor(nn.Module):
         shrink = _shrink_from_args(a, norm)
         if shrink is not None:
             feat = shrink(feat, train)
-        out = CenterHeads()(feat)
+        out = _pixor_heads(feat) if a.get("pixor_head") else CenterHeads()(feat)
         out["spatial_features_2d"] = feat
-        out["anchor_free"] = True
+        if not a.get("pixor_head"):
+            out["anchor_free"] = True
         return out
+
+
+def _pixor_heads(feat):
+    """Faithful PIXOR heads (ref models/pixor.py:233-234,250-253): 3x3
+    convs emitting a 1-channel objectness logit map + 6-channel
+    (cos, sin, dx, dy, log w, log l) regression map, NHWC. Pairs with
+    losses/pixor_loss.py and targets.generate_pixor_label_map."""
+    return {
+        "cls": nn.Conv(1, (3, 3), name="cls_head")(feat),
+        "reg": nn.Conv(6, (3, 3), name="reg_head")(feat),
+    }
 
 
 @register_model("pixor_intermediate")
@@ -119,7 +131,10 @@ class PixorIntermediate(nn.Module):
         fused = build_fusion(method, fargs)(
             feat, batch["pairwise_affine"], batch["agent_mask"], train
         )
-        out = CenterHeads()(fused)
+        out = (
+            _pixor_heads(fused) if a.get("pixor_head") else CenterHeads()(fused)
+        )
         out["spatial_features_2d"] = fused
-        out["anchor_free"] = True
+        if not a.get("pixor_head"):
+            out["anchor_free"] = True
         return out

@@ -176,3 +176,91 @@ def generate_center_targets(
         boxes[ci, cj] = box
         reg_mask[ci, cj] = 1.0
     return {"heatmap": heatmap, "box_targets": boxes, "reg_mask": reg_mask}
+
+
+# PIXOR dense label map (ref data_utils/post_processor/bev_postprocessor.py
+# :34-163). Hard-coded normalization constants are the reference's
+# (bev_postprocessor.py:28-29).
+PIXOR_TARGET_MEAN = np.array(
+    [0.008, 0.001, 0.202, 0.2, 0.43, 1.368], np.float64
+)
+PIXOR_TARGET_STD = np.array(
+    [0.866, 0.5, 0.954, 0.668, 0.09, 0.111], np.float64
+)
+
+
+def generate_pixor_label_map(
+    gt_box_center: np.ndarray,
+    mask: np.ndarray,
+    lidar_range,
+    res: float,
+    downsample_rate: int,
+    label_shape,
+    order: str = "lwh",
+) -> np.ndarray:
+    """PIXOR dense (H, W, 7) label map: per-pixel objectness + normalized
+    (cos yaw, sin yaw, dx, dy, log w, log l) regression targets.
+
+    Semantics of reference ``BevPostprocessor.generate_label`` /
+    ``update_label_map`` (bev_postprocessor.py:34-163): for every pixel
+    of the downsampled label grid that falls inside a GT box's rotated
+    BEV footprint, channel 0 is 1 and channels 1-6 carry the box's
+    regression target relative to the pixel's continuous lidar-frame
+    position, normalized by the fixed target mean/std. Returns NHWC-style
+    (H, W, 7) with H along lidar x (the reference transposes to CHW at
+    the end; we keep HWC).
+    """
+    h, w, _ = label_shape
+    label_map = np.zeros((h, w, 7), np.float64)
+
+    def _normalized(lm):
+        # ref normalize_targets (:146-163) normalizes channels 1-6 of
+        # EVERY pixel, background included
+        lm = lm.copy()
+        lm[..., 1:] = (lm[..., 1:] - PIXOR_TARGET_MEAN) / PIXOR_TARGET_STD
+        return lm.astype(np.float32)
+
+    gt = np.asarray(gt_box_center, np.float64)[np.asarray(mask) == 1]
+    if len(gt) == 0:
+        return _normalized(label_map)
+
+    corners = box_np.boxes_to_corners2d(gt, order)[:, :, :2]  # (n, 4, 2)
+    yaw = gt[:, -1]
+    # (n, 6): cos, sin, x, y, dx, dy — dims are the box's columns 3/4
+    # verbatim (l, w under lwh order; bev_postprocessor.py:66-69)
+    reg = np.column_stack(
+        [np.cos(yaw), np.sin(yaw), gt[:, 0], gt[:, 1], gt[:, 3], gt[:, 4]]
+    )
+
+    origin = np.array([lidar_range[0], lidar_range[1]], np.float64)
+    cell = res * downsample_rate
+    corners_px = (corners - origin) / cell  # pixel coords
+
+    # pixel grid: index 0 along lidar-x (rows), index 1 along lidar-y —
+    # the reference's meshgrid(x, y) + column_stack yields the same
+    # (x_pix, y_pix) pairs
+    xx, yy = np.meshgrid(np.arange(h), np.arange(w))
+    pix = np.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1).astype(
+        np.float64
+    )  # (P, 2)
+
+    for i in range(len(gt)):
+        c = corners_px[i]
+        e1 = c[1] - c[0]
+        e2 = c[3] - c[0]
+        rel = pix - c[0]
+        l1 = rel @ e1 / max(e1 @ e1, 1e-12)
+        l2 = rel @ e2 / max(e2 @ e2, 1e-12)
+        inside = (l1 >= 0) & (l1 <= 1) & (l2 >= 0) & (l2 <= 1)
+        pin = pix[inside]
+        if len(pin) == 0:
+            continue
+        # pixel -> continuous lidar-frame coords (dist_to_continuous)
+        cont = pin * cell + origin
+        t = np.repeat(reg[i : i + 1], len(pin), axis=0)
+        t[:, 2:4] -= cont
+        t[:, 4:] = np.log(t[:, 4:])
+        ij = pin.astype(np.int64)
+        label_map[ij[:, 0], ij[:, 1], 0] = 1.0
+        label_map[ij[:, 0], ij[:, 1], 1:] = t
+    return _normalized(label_map)

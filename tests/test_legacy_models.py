@@ -49,6 +49,46 @@ class TestPixor:
         assert out["reg_preds"].shape[-1] == 7
         assert np.isfinite(np.asarray(out["reg_preds"])).all()
 
+    def test_forward_pixor_head_and_loss(self):
+        """Faithful PIXOR head (cls 1ch + reg 6ch) + PixorLoss over a
+        generated label map: finite loss and gradients."""
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.losses import build_loss
+        from heal_tpu.postprocess.targets import generate_pixor_label_map
+
+        out = forward_model(
+            "pixor", {"bev_res": 0.6, "z_slabs": 8, "pixor_head": True}
+        )
+        assert "anchor_free" not in out
+        assert out["cls"].shape[-1] == 1
+        assert out["reg"].shape[-1] == 6
+
+        h, w = out["cls"].shape[1:3]
+        gt = np.zeros((5, 7), np.float32)
+        gt[0] = [2.0, 1.0, 0.0, 4.2, 1.8, 1.6, 0.3]
+        mask = np.zeros(5, np.float32)
+        mask[0] = 1
+        # label grid at the head's resolution
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        lr = cfg["model"]["args"]["lidar_range"]
+        res = (lr[3] - lr[0]) / h  # effective cell to match head grid
+        lm = generate_pixor_label_map(
+            gt, mask, lr, res, 1, (h, w, 7), order="hwl"
+        )
+        lm = np.broadcast_to(lm[None], (2, h, w, 7))
+        loss = build_loss(
+            {"core_method": "pixor_loss", "args": {"alpha": 1.0, "beta": 1.0}}
+        )
+        total, aux = loss(
+            jax.tree.map(jnp.asarray, {k: out[k] for k in ("cls", "reg")}),
+            {"label_map": jnp.asarray(lm)},
+        )
+        assert np.isfinite(float(total))
+        assert np.isfinite(float(aux["cls_loss"]))
+        assert np.isfinite(float(aux["reg_loss"]))
+
     def test_rasterizer_occupancy(self):
         import jax.numpy as jnp
 

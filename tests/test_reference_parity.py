@@ -337,6 +337,143 @@ class TestLossParity:
             ), (k, float(aux[k]), float(ref.loss_dict[ref_k]))
 
 
+class TestPixorVoxelNetLossParity:
+    """Faithful PixorLoss / VoxelNetLoss vs the torch reference
+    (VERDICT r4 item 8; ref loss/pixor_loss.py, loss/voxel_net_loss.py)."""
+
+    def test_pixor_loss_forward(self):
+        from opencood.loss.pixor_loss import PixorLoss as RefLoss
+
+        import jax.numpy as jnp
+
+        from heal_tpu.losses.pixor_loss import PixorLoss
+
+        b, H, W = 2, 12, 16
+        cls_preds = RNG.normal(0, 1, (b, H, W, 1)).astype(np.float32)
+        reg_preds = RNG.normal(0, 0.5, (b, H, W, 6)).astype(np.float32)
+        label_map = RNG.normal(0, 1, (b, H, W, 7)).astype(np.float32)
+        label_map[..., 0] = (RNG.uniform(size=(b, H, W)) < 0.1).astype(
+            np.float32
+        )
+
+        args = {"alpha": 1.5, "beta": 1.0}
+        ours = PixorLoss(args)
+        total, aux = ours(
+            {"cls": jnp.asarray(cls_preds), "reg": jnp.asarray(reg_preds)},
+            {"label_map": jnp.asarray(label_map)},
+        )
+        ref = RefLoss(args)
+        ref_total = ref(
+            {
+                "cls": t(cls_preds).permute(0, 3, 1, 2),
+                "reg": t(reg_preds).permute(0, 3, 1, 2),
+            },
+            {"label_map": t(label_map).permute(0, 3, 1, 2)},
+        )
+        assert abs(float(total) - float(ref_total)) < 1e-4
+        for k in ("cls_loss", "reg_loss"):
+            assert abs(float(aux[k]) - float(ref.loss_dict[k])) < 1e-4
+
+        # zero-positive frame: the no-division branch must also match
+        label_map[..., 0] = 0.0
+        total0, _ = ours(
+            {"cls": jnp.asarray(cls_preds), "reg": jnp.asarray(reg_preds)},
+            {"label_map": jnp.asarray(label_map)},
+        )
+        ref_total0 = ref(
+            {
+                "cls": t(cls_preds).permute(0, 3, 1, 2),
+                "reg": t(reg_preds).permute(0, 3, 1, 2),
+            },
+            {"label_map": t(label_map).permute(0, 3, 1, 2)},
+        )
+        assert abs(float(total0) - float(ref_total0)) < 1e-4
+
+    def test_voxel_net_loss_forward(self):
+        from opencood.loss.voxel_net_loss import VoxelNetLoss as RefLoss
+
+        import jax.numpy as jnp
+
+        from heal_tpu.losses.voxel_net_loss import VoxelNetLoss
+
+        b, H, W, A = 2, 8, 10, 2
+        psm = RNG.normal(0, 1, (b, H, W, A)).astype(np.float32)
+        rm = RNG.normal(0, 0.5, (b, H, W, A * 7)).astype(np.float32)
+        pos = (RNG.uniform(size=(b, H, W, A)) < 0.05).astype(np.float32)
+        neg = ((RNG.uniform(size=(b, H, W, A)) < 0.8) * (1 - pos)).astype(
+            np.float32
+        )
+        targets = RNG.normal(0, 0.3, (b, H, W, A * 7)).astype(np.float32)
+
+        args = {"alpha": 1.5, "beta": 1.0, "reg": 2.0}
+        ours = VoxelNetLoss(args)
+        total, aux = ours(
+            {"psm": jnp.asarray(psm), "rm": jnp.asarray(rm)},
+            {
+                "pos_equal_one": jnp.asarray(pos),
+                "neg_equal_one": jnp.asarray(neg),
+                "targets": jnp.asarray(targets),
+            },
+        )
+        ref = RefLoss(args)
+        ref_total = ref(
+            {
+                "psm": t(psm).permute(0, 3, 1, 2),
+                "rm": t(rm).permute(0, 3, 1, 2),
+            },
+            {
+                "pos_equal_one": t(pos),
+                "neg_equal_one": t(neg),
+                "targets": t(targets),
+            },
+        )
+        assert abs(float(total) - float(ref_total)) < 1e-4
+        for k in ("reg_loss", "conf_loss"):
+            assert abs(float(aux[k]) - float(ref.loss_dict[k])) < 1e-4
+
+    def test_pixor_label_map_vs_reference(self):
+        from opencood.data_utils.post_processor.bev_postprocessor import (
+            BevPostprocessor,
+        )
+
+        from heal_tpu.postprocess.targets import generate_pixor_label_map
+
+        res, ds = 0.4, 4
+        lidar_range = [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0]
+        label_shape = (
+            int((lidar_range[3] - lidar_range[0]) / res / ds),
+            int((lidar_range[4] - lidar_range[1]) / res / ds),
+            7,
+        )
+        geometry_param = {
+            "L1": lidar_range[0], "L2": lidar_range[3],
+            "W1": lidar_range[1], "W2": lidar_range[4],
+            "H1": lidar_range[2], "H2": lidar_range[5],
+            "res": res, "downsample_rate": ds,
+            "label_shape": list(label_shape),
+        }
+        ref_pp = BevPostprocessor(
+            {"geometry_param": geometry_param, "order": "lwh"}, train=True
+        )
+        gt = np.zeros((10, 7), np.float32)
+        gt[0] = [2.0, 1.0, 0.0, 4.2, 1.8, 1.6, 0.3]
+        gt[1] = [-8.0, -3.0, 0.0, 3.9, 1.7, 1.5, -1.2]
+        gt[2] = [10.0, 5.0, 0.0, 4.5, 2.0, 1.7, 2.9]
+        mask = np.zeros(10, np.float32)
+        mask[:3] = 1
+
+        ref_label = ref_pp.generate_label(gt_box_center=gt, mask=mask)[
+            "label_map"
+        ]  # (7, H, W)
+        ours = generate_pixor_label_map(
+            gt, mask, lidar_range, res, ds, label_shape, order="lwh"
+        )  # (H, W, 7)
+        np.testing.assert_allclose(
+            ours, np.transpose(ref_label, (1, 2, 0)), atol=1e-5
+        )
+        assert ours[..., 0].sum() > 0  # boxes actually rasterized
+
+
 class TestCameraParity:
     @pytest.mark.parametrize("mode", ["UD", "LID", "SID"])
     def test_bin_depths(self, mode):
