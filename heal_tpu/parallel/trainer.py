@@ -90,6 +90,17 @@ class Trainer:
     # (comm_modules/where2comm.py:34-79) and uses dropout in its fusion
     # transformers (sub_modules/v2xvit_basic.py:42).
     rng: Any = None
+    # Mixed-precision training (the torch-AMP equivalent of
+    # train_ddp.py:124-175, TPU-native form): f32 MASTER weights in the
+    # optimizer, params cast to bf16 for the forward/backward compute —
+    # the astype VJP accumulates gradients back in f32, and bf16 shares
+    # f32's exponent range so no GradScaler is needed. The batch is NOT
+    # cast (raw point coords in bf16 round across 0.4 m pillar edges at
+    # |x|~51 m — BASELINE.md round-2); encoders key their compute dtype
+    # off the params' dtype, so casting weights is sufficient. BatchNorm
+    # statistics stay f32 (masked-BN moments promote through f32 masks).
+    # Model outputs are cast back to f32 before the loss.
+    bf16: bool = False
 
     def init_state(self, rng, example_batch) -> TrainState:
         from ..utils.jit_cache import jit_init
@@ -115,12 +126,26 @@ class Trainer:
         )
 
     def _loss_fn(self, params, batch_stats, batch, step_rng=None):
+        if self.bf16:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                params,
+            )
         variables = {"params": params}
         mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
         out, mutated = self._apply_train(variables, batch, mutable, step_rng)
+        if self.bf16:
+            out = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                else x,
+                out,
+            )
         loss, aux = self.criterion(out, _label_targets(batch))
         if "comm_rate" in out:  # where2comm bandwidth metric -> train logs
             aux = dict(aux, comm_rate=out["comm_rate"])
@@ -131,6 +156,15 @@ class Trainer:
             loss = loss + self.single_weight * loss_s
             aux = dict(aux, **{f"{k}_single": v for k, v in aux_s.items()})
         new_stats = mutated.get("batch_stats", batch_stats)
+        if self.bf16:
+            # running statistics are f32 state; never let a bf16-computed
+            # module store reduced-precision moments
+            new_stats = jax.tree.map(
+                lambda x: x.astype(jnp.float32)
+                if hasattr(x, "dtype") and x.dtype == jnp.bfloat16
+                else x,
+                new_stats,
+            )
         return loss, (aux, new_stats)
 
     def _train_step(self, state: TrainState, batch: dict):

@@ -129,6 +129,9 @@ def main(argv=None):
         single_weight=cfg["loss"]["args"].get("single_weight", 1.0),
         mesh=mesh,
         fix_modules=fix_modules,
+        # mixed-precision training (torch-AMP equivalent, --half in
+        # train_ddp.py): train_params.bf16: true in the config
+        bf16=bool(cfg["train_params"].get("bf16", False)),
     )
     state = trainer.init_state(jax.random.PRNGKey(0), example)
 

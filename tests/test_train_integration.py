@@ -7,7 +7,7 @@ import pytest
 CFG_DIR = os.path.join(os.path.dirname(__file__), "configs")
 
 
-def make_trainer(cfg):
+def make_trainer(cfg, bf16: bool = False):
     import jax
 
     from heal_tpu.data import build_dataset
@@ -26,6 +26,7 @@ def make_trainer(cfg):
         criterion=criterion,
         tx=tx,
         supervise_single=cfg["model"]["args"].get("supervise_single", False),
+        bf16=bf16,
     ).compile()
     batch = to_device(next(ds.batches(cfg["train_params"]["batch_size"])))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -45,6 +46,48 @@ class TestIntermediateBaseline:
             losses.append(float(aux["total_loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.5, losses
+
+
+class TestBf16Training:
+    """Mixed-precision training policy (VERDICT r4 item 4; torch-AMP
+    equivalent of ref tools/train_ddp.py:124-175)."""
+
+    @pytest.mark.slow
+    def test_bf16_overfits_and_keeps_f32_master_state(self):
+        import jax.numpy as jnp
+
+        from heal_tpu.config import load_yaml
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        trainer, state, batch, _ = make_trainer(cfg, bf16=True)
+        losses = []
+        for _ in range(12):
+            state, aux = trainer.train_step(state, batch)
+            losses.append(float(aux["total_loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0] * 0.5, losses
+        # master weights and running stats stay f32
+        import jax
+
+        for leaf in jax.tree.leaves(state.params):
+            assert leaf.dtype != jnp.bfloat16, "bf16 leaked into master params"
+        for leaf in jax.tree.leaves(state.batch_stats):
+            assert leaf.dtype != jnp.bfloat16, "bf16 leaked into batch_stats"
+
+    @pytest.mark.slow
+    def test_bf16_first_step_tracks_f32(self):
+        """One bf16 step from the same init stays close to the f32 step
+        (same data, same rng) — the policy is a precision change, not a
+        semantic one."""
+        from heal_tpu.config import load_yaml
+
+        cfg = load_yaml(os.path.join(CFG_DIR, "tiny_intermediate.yaml"))
+        tr32, st32, batch, _ = make_trainer(cfg, bf16=False)
+        tr16, st16, _, _ = make_trainer(cfg, bf16=True)
+        _, aux32 = tr32.train_step(st32, batch)
+        _, aux16 = tr16.train_step(st16, batch)
+        l32, l16 = float(aux32["total_loss"]), float(aux16["total_loss"])
+        assert abs(l32 - l16) < 0.05 * max(abs(l32), 1.0), (l32, l16)
 
 
 class TestHeterCollab:
