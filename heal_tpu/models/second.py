@@ -143,3 +143,134 @@ class SecondEncoder(nn.Module):
             max_voxels=tuple(self.max_voxels),
         )
         return stack(points, mask, train)
+
+
+# ---------------------------------------------------------------------
+# Reference-exact variant: VoxelBackBone8x mirrored layer-for-layer on
+# the voxel-level oracle engine (ops/sparse_conv.py), BatchNorm'd like
+# the reference (BatchNorm1d eps 1e-3). Exists to host transplanted
+# reference SECOND checkpoints (utils/transplant.transplant_second_
+# encoder) and to prove numeric parity vs the actual torch reference
+# (tests/test_weight_transplant.py); the COLUMN engine above remains the
+# fast serving path.
+# Ref: models/heter_encoders.py:52-81 (SECOND = MeanVFE ->
+# VoxelBackBone8x -> HeightCompression), sub_modules/sparse_backbone_3d
+# .py:34-152, mean_vfe.py, height_compression.py.
+class _OracleConvBN(nn.Module):
+    """One sparse conv (subm / strided / anisotropic strided) + BN + ReLU."""
+
+    cout: int
+    taps: int = 27
+
+    @nn.compact
+    def __call__(self, feats, table, valid, train: bool = False):
+        from ..ops import sparse_conv as sc
+        from .encoders import MaskedBatchNorm
+
+        cin = feats.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(), (self.taps, cin, self.cout)
+        )
+        out = sc.apply_table_conv(feats, table, w, valid)
+        h = MaskedBatchNorm(name="bn")(out, valid, train)
+        return nn.relu(h) * valid[:, None].astype(h.dtype)
+
+
+class SecondRefStack(nn.Module):
+    """Per-sample VoxelBackBone8x on the oracle engine (exact spconv
+    site semantics; z grid padded +1 like the reference sparse_shape)."""
+
+    lidar_range: Sequence[float]
+    voxel_size: Sequence[float]
+    max_voxels: Sequence[int] = (24000, 16000, 12000, 8000, 8000)
+    num_features_out: int = 128
+
+    @nn.compact
+    def __call__(self, points, mask, train: bool = False):
+        from ..ops import sparse_conv as sc
+
+        sp = sc.voxelize_points(
+            points, mask, self.lidar_range, self.voxel_size,
+            self.max_voxels[0],
+        )
+        # ref sparse_shape = grid[::-1] + [1, 0, 0]: one extra z layer
+        d, h, w = sp["grid"]
+        sp = dict(sp, grid=(d + 1, h, w))
+
+        t = sc.neighbor_table(sp)
+        feats = _OracleConvBN(16, name="conv_input")(
+            sp["feats"], t, sp["valid"], train
+        )
+        feats = _OracleConvBN(16, name="conv1_0")(feats, t, sp["valid"], train)
+        sp = dict(sp, feats=feats)
+
+        chans = {2: 32, 3: 64, 4: 64}
+        for si in (2, 3, 4):
+            pad = (0, 1, 1) if si == 4 else (1, 1, 1)
+            out = sc.downsample_sites(
+                sp, self.max_voxels[si - 1], padding=pad
+            )
+            st = sc.strided_table(sp, out, padding=pad)
+            feats = _OracleConvBN(chans[si], name=f"conv{si}_0")(
+                sp["feats"], st, out["valid"], train
+            )
+            sp = dict(out, feats=feats)
+            t = sc.neighbor_table(sp)
+            for j in (1, 2):
+                feats = _OracleConvBN(chans[si], name=f"conv{si}_{j}")(
+                    sp["feats"], t, sp["valid"], train
+                )
+                sp = dict(sp, feats=feats)
+
+        # conv_out: kernel (3, 1, 1), stride (2, 1, 1), padding 0
+        out = sc.downsample_sites_nd(
+            sp, self.max_voxels[4], (3, 1, 1), (2, 1, 1), (0, 0, 0)
+        )
+        st = sc.strided_table_nd(sp, out, (3, 1, 1), (2, 1, 1), (0, 0, 0))
+        feats = _OracleConvBN(self.num_features_out, taps=3, name="conv_out")(
+            sp["feats"], st, out["valid"], train
+        )
+        sp = dict(out, feats=feats)
+
+        # HeightCompression with the REFERENCE channel fold: dense
+        # (C, D, H, W).view(C*D, H, W) -> NHWC channel index c*D + d
+        dd, hh, ww = sp["grid"]
+        c = feats.shape[-1]
+        flat = (
+            sp["coords"][:, 0] * (hh * ww)
+            + sp["coords"][:, 1] * ww
+            + sp["coords"][:, 2]
+        )
+        flat = jnp.where(sp["valid"], flat, dd * hh * ww)
+        dense = jax.ops.segment_sum(
+            feats * sp["valid"][:, None],
+            flat,
+            num_segments=dd * hh * ww + 1,
+            indices_are_sorted=True,
+        )[:-1].reshape(dd, hh, ww, c)
+        return dense.transpose(1, 2, 3, 0).reshape(hh, ww, c * dd)
+
+
+class SecondRefEncoder(nn.Module):
+    """points (B, N, 4) + mask -> BEV, reference-exact layer stack."""
+
+    voxel_size: Sequence[float]
+    lidar_range: Sequence[float]
+    max_voxels: Sequence[int] = (24000, 16000, 12000, 8000, 8000)
+    num_features_out: int = 128
+
+    @nn.compact
+    def __call__(self, points, mask, train: bool = False):
+        stack = nn.vmap(
+            SecondRefStack,
+            in_axes=(0, 0, None),
+            out_axes=0,
+            variable_axes={"params": None, "batch_stats": None},
+            split_rngs={"params": False},
+        )(
+            lidar_range=tuple(self.lidar_range),
+            voxel_size=tuple(self.voxel_size),
+            max_voxels=tuple(self.max_voxels),
+            num_features_out=self.num_features_out,
+        )
+        return stack(points, mask, train)

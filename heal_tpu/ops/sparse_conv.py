@@ -167,24 +167,24 @@ def neighbor_table(sp):
 
 
 def apply_table_conv(feats, table, weights, valid, bias=None):
-    """One wide gather + ONE implicit GEMM for a 27-offset conv.
+    """One wide gather + ONE implicit GEMM for a K-offset conv.
 
-    feats (V, Cin); table (O, 27) indices into feats (V = zero row);
-    weights (27, Cin, Cout). The (O, 27*Cin) @ (27*Cin, Cout) contraction
-    replaces 27 narrow GEMMs — a single MXU-shaped matmul.
+    feats (V, Cin); table (O, K) indices into feats (V = zero row);
+    weights (K, Cin, Cout). The (O, K*Cin) @ (K*Cin, Cout) contraction
+    replaces K narrow GEMMs — a single MXU-shaped matmul.
     """
     v, cin = feats.shape
-    o = table.shape[0]
+    o, k = table.shape
     cout = weights.shape[-1]
     feats_pad = jnp.concatenate(
         [feats, jnp.zeros((1, cin), feats.dtype)], axis=0
     )
     g = jnp.take(feats_pad, table.reshape(-1), axis=0).reshape(
-        o, 27 * cin
+        o, k * cin
     )
     out = jnp.dot(
         g,
-        weights.reshape(27 * cin, cout).astype(feats.dtype),
+        weights.reshape(k * cin, cout).astype(feats.dtype),
         preferred_element_type=feats.dtype,
     )
     if bias is not None:
@@ -318,3 +318,118 @@ def to_dense_bev(sp, feats):
     )
     dense = dense[:-1].reshape(d, h, w, c)
     return dense.transpose(1, 2, 0, 3).reshape(h, w, d * c)
+
+
+# ------------------------------------------------------------------
+# Anisotropic generalizations (kernel/stride/padding per axis) — needed
+# for the reference VoxelBackBone8x's conv4 (k3 s2 padding (0, 1, 1))
+# and conv_out (kernel (3, 1, 1), stride (2, 1, 1), padding 0)
+# (sparse_backbone_3d.py:76-93). The uniform-3x3x3 fast paths above stay
+# unchanged; these share apply_table_conv (K taps read from the weights).
+def _taps(kernel):
+    """0-based kernel taps: input = stride*o - padding + tap."""
+    kd, kh, kw = kernel
+    return [
+        (tz, ty, tx)
+        for tz in range(kd)
+        for ty in range(kh)
+        for tx in range(kw)
+    ]
+
+
+def downsample_sites_nd(sp, max_out, kernel, stride, padding):
+    """Exact spconv SparseConv3d output-site generation, per-axis
+    kernel/stride/padding. Output o is active iff any input voxel c has
+    stride*o - padding <= c <= stride*o - padding + kernel - 1 on every
+    axis."""
+    coords, valid = sp["coords"], sp["valid"]
+    grid = sp["grid"]
+    out_grid = tuple(
+        (grid[i] + 2 * padding[i] - kernel[i]) // stride[i] + 1
+        for i in range(3)
+    )
+    od, oh, ow = out_grid
+    # per-axis candidate outputs: o in [ceil((c - k + 1 + p)/s),
+    # floor((c + p)/s)] -> at most ceil(k/s) options
+    nopts = [-(-kernel[i] // stride[i]) for i in range(3)]
+    cand_keys = []
+    for bz in range(nopts[0]):
+        for by in range(nopts[1]):
+            for bx in range(nopts[2]):
+                oz = (coords[:, 0] + padding[0]) // stride[0] - bz
+                oy = (coords[:, 1] + padding[1]) // stride[1] - by
+                ox = (coords[:, 2] + padding[2]) // stride[2] - bx
+                lo = (
+                    stride[0] * oz - padding[0],
+                    stride[1] * oy - padding[1],
+                    stride[2] * ox - padding[2],
+                )
+                ok = (
+                    valid
+                    & (oz >= 0) & (oz < od)
+                    & (oy >= 0) & (oy < oh)
+                    & (ox >= 0) & (ox < ow)
+                    & (coords[:, 0] >= lo[0])
+                    & (coords[:, 0] <= lo[0] + kernel[0] - 1)
+                    & (coords[:, 1] >= lo[1])
+                    & (coords[:, 1] <= lo[1] + kernel[1] - 1)
+                    & (coords[:, 2] >= lo[2])
+                    & (coords[:, 2] <= lo[2] + kernel[2] - 1)
+                )
+                k = oz * (oh * ow) + oy * ow + ox
+                cand_keys.append(jnp.where(ok, k, INVALID))
+    cand = jnp.sort(jnp.concatenate(cand_keys))
+    head = jnp.concatenate([jnp.ones(1, bool), cand[1:] != cand[:-1]]) & (
+        cand != INVALID
+    )
+    rank = jnp.minimum(jnp.cumsum(head.astype(jnp.int32)) - 1, max_out)
+    keys_out = jnp.full((max_out,), INVALID, jnp.int32)
+    keys_out = keys_out.at[jnp.where(head, rank, max_out)].set(
+        jnp.where(head, cand, INVALID), mode="drop"
+    )
+    valid_out = keys_out != INVALID
+    kk = jnp.where(valid_out, keys_out, 0)
+    coords_out = jnp.stack(
+        [kk // (oh * ow), (kk // ow) % oh, kk % ow], axis=1
+    ).astype(jnp.int32)
+    return {
+        "keys": keys_out,
+        "coords": jnp.where(valid_out[:, None], coords_out, 0),
+        "valid": valid_out,
+        "grid": out_grid,
+    }
+
+
+def strided_table_nd(sp, out_sites, kernel, stride, padding):
+    """(O, K) gather indices: out[o] tap t reads in[stride*o - padding + t]."""
+    keys = sp["keys"]
+    oc = out_sites["coords"]
+    ovalid = out_sites["valid"]
+    o = oc.shape[0]
+    d, h, w = sp["grid"]
+    taps = jnp.asarray(_taps(kernel), jnp.int32)  # (K, 3)
+    cz = stride[0] * oc[:, None, 0] - padding[0] + taps[None, :, 0]
+    cy = stride[1] * oc[:, None, 1] - padding[1] + taps[None, :, 1]
+    cx = stride[2] * oc[:, None, 2] - padding[2] + taps[None, :, 2]
+    ok = (
+        ovalid[:, None]
+        & (cz >= 0) & (cz < d)
+        & (cy >= 0) & (cy < h)
+        & (cx >= 0) & (cx < w)
+    )
+    nk = cz * (h * w) + cy * w + cx
+    k = taps.shape[0]
+    return _lookup_batched(
+        keys, nk.reshape(-1), ok.reshape(-1)
+    ).reshape(o, k)
+
+
+def strided_conv_nd(sp, out_sites, weights, kernel, stride, padding,
+                    bias=None):
+    """Anisotropic SparseConv3d; weights (K, Cin, Cout), K = prod(kernel),
+    taps ordered z-major (matches spconv's (kd, kh, kw, in, out) layout
+    flattened over the spatial axes)."""
+    table = strided_table_nd(sp, out_sites, kernel, stride, padding)
+    return apply_table_conv(
+        sp["feats"], table, weights, out_sites["valid"], bias
+    )

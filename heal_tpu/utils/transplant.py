@@ -263,3 +263,53 @@ def transplant_heter_pyramid_collab(sd: dict, variables: dict, args: dict):
     params = _merge(variables["params"], p_new)
     stats = _merge(variables.get("batch_stats", {}), s_new)
     return {"params": params, "batch_stats": stats}
+
+
+def _spconv_kernel(w) -> np.ndarray:
+    """spconv-1.x weight (kd, kh, kw, in, out) -> (kd*kh*kw, in, out)
+    tap-major kernel for ops/sparse_conv.apply_table_conv (the tap order
+    of sparse_conv._offsets/_taps is the same z-major flattening)."""
+    w = _np(w)
+    kd, kh, kw, cin, cout = w.shape
+    return w.reshape(kd * kh * kw, cin, cout)
+
+
+def transplant_second_encoder(sd: dict, prefix: str = "encoder_m3"):
+    """Reference SECOND encoder (heter_encoders.py:52-81: MeanVFE +
+    VoxelBackBone8x + HeightCompression, sparse_backbone_3d.py:34-152)
+    -> models/second.SecondRefEncoder params/batch_stats.
+
+    Layer map (ref SparseSequential index naming -> our module names):
+      spconv_block.conv_input.{0,1}          -> conv_input.{kernel,bn}
+      spconv_block.conv1.0.{0,1}             -> conv1_0
+      spconv_block.conv{s}.{j}.{0,1} (s=2..4)-> conv{s}_{j}
+      spconv_block.conv_out.{0,1}            -> conv_out
+    MeanVFE has no parameters; HeightCompression is a reshape.
+    """
+    base = f"{prefix}.spconv_block" if prefix else "spconv_block"
+
+    def conv_bn(conv_key, bn_key):
+        bn_p, bn_s = _bn(sd, bn_key)
+        params = {
+            "kernel": _spconv_kernel(sd[f"{conv_key}.weight"]),
+            "bn": bn_p,
+        }
+        return params, {"bn": bn_s}
+
+    params: dict = {}
+    stats: dict = {}
+    params["conv_input"], stats["conv_input"] = conv_bn(
+        f"{base}.conv_input.0", f"{base}.conv_input.1"
+    )
+    params["conv1_0"], stats["conv1_0"] = conv_bn(
+        f"{base}.conv1.0.0", f"{base}.conv1.0.1"
+    )
+    for s in (2, 3, 4):
+        for j in (0, 1, 2):
+            params[f"conv{s}_{j}"], stats[f"conv{s}_{j}"] = conv_bn(
+                f"{base}.conv{s}.{j}.0", f"{base}.conv{s}.{j}.1"
+            )
+    params["conv_out"], stats["conv_out"] = conv_bn(
+        f"{base}.conv_out.0", f"{base}.conv_out.1"
+    )
+    return params, stats

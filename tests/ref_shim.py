@@ -142,6 +142,136 @@ def _bbox_overlaps(boxes, query_boxes):
     return overlaps
 
 
+# ---------------------------------------------------------------- spconv
+# A REAL pure-torch implementation of the spconv API slice the reference's
+# VoxelBackBone8x uses (sparse_backbone_3d.py) — grids in the parity tests
+# are small, so sparse conv is computed exactly via densify -> F.conv3d ->
+# resample, with spconv's exact output-site rules:
+#   * SubMConv3d: outputs only at input sites, centered stencil
+#     (padding has no effect on site selection);
+#   * SparseConv3d: output site o is active iff any input voxel lies in
+#     its receptive field [stride*o - padding, ... + kernel - 1].
+# Weight layout follows spconv 1.2.1 ((kd, kh, kw, in, out)) — the layout
+# of the published HEAL checkpoints.
+def _t3(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v, v, v)
+
+
+class _ShimSparseConvTensor:
+    def __init__(self, features, indices, spatial_shape, batch_size):
+        self.features = features  # (V, C)
+        self.indices = indices  # (V, 4) [b, z, y, x]
+        self.spatial_shape = list(int(s) for s in spatial_shape)
+        self.batch_size = int(batch_size)
+
+    def dense(self):
+        import torch
+
+        d, h, w = self.spatial_shape
+        c = self.features.shape[1]
+        out = torch.zeros(
+            self.batch_size, c, d, h, w, dtype=self.features.dtype
+        )
+        idx = self.indices.long()
+        out[idx[:, 0], :, idx[:, 1], idx[:, 2], idx[:, 3]] = self.features
+        return out
+
+
+class _ShimSparseConvBase:
+    """Common torch-Module machinery for the two conv kinds."""
+
+    def _init(self, in_ch, out_ch, kernel, stride, padding, bias):
+        import torch
+
+        assert not bias, "reference backbone uses bias=False throughout"
+        self.kernel = _t3(kernel)
+        self.stride = _t3(stride)
+        self.padding = _t3(padding)
+        kd, kh, kw = self.kernel
+        w = torch.empty(kd, kh, kw, in_ch, out_ch)
+        torch.nn.init.kaiming_uniform_(w.view(-1, out_ch), a=5**0.5)
+        self.weight = torch.nn.Parameter(w)
+
+    def _dense_conv(self, x, stride, padding):
+        import torch.nn.functional as F
+
+        w = self.weight.permute(4, 3, 0, 1, 2)  # (O, I, kd, kh, kw)
+        return F.conv3d(x.dense(), w, stride=stride, padding=padding)
+
+
+class _ShimSubMConv3d(_ShimSparseConvBase):
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 bias=False, indice_key=None):
+        import torch
+
+        torch.nn.Module.__init__(self)
+        self._init(in_ch, out_ch, kernel_size, 1, 0, bias)
+
+    def forward(self, x):
+        # centered stencil at input sites; dense conv with SAME padding
+        pad = tuple(k // 2 for k in self.kernel)
+        y = self._dense_conv(x, (1, 1, 1), pad)
+        idx = x.indices.long()
+        feats = y[idx[:, 0], :, idx[:, 1], idx[:, 2], idx[:, 3]]
+        return _ShimSparseConvTensor(
+            feats, x.indices, x.spatial_shape, x.batch_size
+        )
+
+
+class _ShimSparseConv3d(_ShimSparseConvBase):
+    def __init__(self, in_ch, out_ch, kernel_size, stride=1, padding=0,
+                 bias=False, indice_key=None):
+        import torch
+
+        torch.nn.Module.__init__(self)
+        self._init(in_ch, out_ch, kernel_size, stride, padding, bias)
+
+    def forward(self, x):
+        import torch
+        import torch.nn.functional as F
+
+        y = self._dense_conv(x, self.stride, self.padding)
+        # spconv output-site rule via an occupancy conv with a ones
+        # kernel; occupancy marks SITES (even all-zero features)
+        d, h, w = x.spatial_shape
+        occ = torch.zeros(x.batch_size, 1, d, h, w)
+        idx = x.indices.long()
+        occ[idx[:, 0], 0, idx[:, 1], idx[:, 2], idx[:, 3]] = 1.0
+        ones = torch.ones((1, 1) + self.kernel)
+        reach = F.conv3d(occ, ones, stride=self.stride,
+                         padding=self.padding)
+        sites = (reach[:, 0] > 0).nonzero()  # (O, 4) [b, z, y, x]
+        feats = y[sites[:, 0], :, sites[:, 1], sites[:, 2], sites[:, 3]]
+        return _ShimSparseConvTensor(
+            feats, sites.int(), list(y.shape[2:]), x.batch_size
+        )
+
+
+def _make_shim_sparse_sequential():
+    import torch
+
+    # the conv shims subclass nn.Module lazily (torch import at call time)
+    class _SubM(_ShimSubMConv3d, torch.nn.Module):
+        pass
+
+    class _Sparse(_ShimSparseConv3d, torch.nn.Module):
+        pass
+
+    class _Seq(torch.nn.Sequential):
+        def forward(self, x):
+            for mod in self:
+                if isinstance(mod, (_SubM, _Sparse, _Seq)):
+                    x = mod(x)
+                else:  # BatchNorm1d / ReLU act on the feature matrix
+                    x = _ShimSparseConvTensor(
+                        mod(x.features), x.indices, x.spatial_shape,
+                        x.batch_size,
+                    )
+            return x
+
+    return _Seq, _SubM, _Sparse
+
+
 def _install_stub(name: str, **attrs) -> types.ModuleType:
     mod = types.ModuleType(name)
     for k, v in attrs.items():
@@ -192,18 +322,20 @@ def load_reference():
     if "termcolor" not in sys.modules:
         _install_stub("termcolor", colored=lambda s, *a, **k: s)
     if "spconv" not in sys.modules:
-        # imported at module level by sparse_backbone_3d; the m1
-        # (PointPillars) model paths never construct these
-        class _NoSparse:
+        # real pure-torch shim (see classes above) — runs the reference
+        # VoxelBackBone8x exactly on small grids for SECOND parity tests
+        class _NoSparse:  # inverse conv: unused by the reference backbone
             def __init__(self, *a, **k):
-                raise RuntimeError("spconv stub: not available")
+                raise RuntimeError("spconv shim: SparseInverseConv3d "
+                                   "not implemented")
 
+        seq, subm, sparse = _make_shim_sparse_sequential()
         names = dict(
-            SparseSequential=_NoSparse,
-            SubMConv3d=_NoSparse,
-            SparseConv3d=_NoSparse,
+            SparseSequential=seq,
+            SubMConv3d=subm,
+            SparseConv3d=sparse,
             SparseInverseConv3d=_NoSparse,
-            SparseConvTensor=_NoSparse,
+            SparseConvTensor=_ShimSparseConvTensor,
         )
         spconv = _install_stub("spconv", **names)
         spconv.pytorch = _install_stub("spconv.pytorch", **names)

@@ -310,6 +310,91 @@ class TestPyramidTransplant:
         )
 
 
+class TestFusionZooTransplant:
+    def test_att_fusion_vs_reference(self):
+        """AttFusion (fusion_in_one.py:126-151): regroup + ego-warp +
+        per-pixel scaled-dot-product agent attention. Parameter-free, so
+        the contract is a forward A/B on the same features and a
+        non-identity ego-row affine — it proves our masked fixed-L
+        formulation equals the reference's ragged one.
+        (The reference's DiscoFusion imports disco_fuse.PixelWeightLayer,
+        a module absent from the reference tree — unrunnable dead code,
+        so AttFusion is the fusion-zoo contract per VERDICT item 3c.)"""
+        import jax.numpy as jnp
+        from opencood.models.fuse_modules.fusion_in_one import (
+            AttFusion as RefAtt,
+        )
+
+        from heal_tpu.models.fuse.fusion_in_one import AttFusion
+
+        b, l, h, w, c = 1, 3, 16, 24, 8
+        feats = RNG.normal(0, 1, (l, c, h, w)).astype(np.float32)
+        th = 0.12
+        affine = np.tile(np.eye(2, 3, dtype=np.float32), (b, l, l, 1, 1))
+        rot = np.array(
+            [
+                [np.cos(th), -np.sin(th) * h / w, 0.08],
+                [np.sin(th) * w / h, np.cos(th), -0.04],
+            ],
+            dtype=np.float32,
+        )
+        affine[0, 0, 1] = rot
+        affine[0, 0, 2] = rot
+
+        ref = RefAtt(c).eval()
+        with torch.no_grad():
+            ref_out = ref(
+                torch.tensor(feats),
+                torch.tensor([l]),
+                torch.tensor(affine),
+            ).numpy()  # (B, C, H, W)
+
+        ours = AttFusion()
+        import jax
+
+        xin = jnp.asarray(feats.transpose(0, 2, 3, 1))[None]
+        variables = ours.init(
+            jax.random.PRNGKey(0), xin, jnp.asarray(affine),
+            jnp.ones((b, l), bool),
+        )
+        out = ours.apply(
+            variables, xin, jnp.asarray(affine), jnp.ones((b, l), bool)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref_out, atol=2e-4
+        )
+
+    def test_att_fusion_padded_slots_are_invisible(self):
+        """Padded agent slots must not change the attention result —
+        the fixed-L padding contract the reference's ragged regroup
+        never needs."""
+        import jax
+        import jax.numpy as jnp
+
+        from heal_tpu.models.fuse.fusion_in_one import AttFusion
+
+        b, l, h, w, c = 1, 4, 8, 12, 8
+        feats = RNG.normal(0, 1, (b, l, h, w, c)).astype(np.float32)
+        affine = np.tile(np.eye(2, 3, dtype=np.float32), (b, l, l, 1, 1))
+        mask3 = np.array([[True, True, True, False]])
+        ours = AttFusion()
+        v = ours.init(
+            jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(affine),
+            jnp.asarray(mask3),
+        )
+        out3 = ours.apply(
+            v, jnp.asarray(feats), jnp.asarray(affine), jnp.asarray(mask3)
+        )
+        garbage = feats.copy()
+        garbage[:, 3] = RNG.normal(0, 100, (b, h, w, c))
+        out3b = ours.apply(
+            v, jnp.asarray(garbage), jnp.asarray(affine), jnp.asarray(mask3)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out3), np.asarray(out3b), atol=1e-4
+        )
+
+
 class TestShrinkHeadsTransplant:
     def test_downsample_conv_and_heads(self):
         import jax
@@ -381,12 +466,110 @@ class TestShrinkHeadsTransplant:
         )
 
 
+class TestSecondEncoderTransplant:
+    def test_second_vs_reference_spconv(self):
+        """VERDICT r4 item 3b: reference SECOND encoder (MeanVFE +
+        VoxelBackBone8x + HeightCompression, run through the pure-torch
+        spconv shim in ref_shim.py — exact spconv semantics via dense
+        conv on a small grid) == our SecondRefEncoder (oracle sparse
+        engine, ops/sparse_conv.py) with the transplanted state_dict.
+        Covers submanifold convs, three strided downsamples including
+        conv4's (0,1,1) padding, the anisotropic (3,1,1)/(2,1,1)
+        conv_out, BN running stats, and the reference's C*D channel
+        fold."""
+        import jax
+        import jax.numpy as jnp
+        from opencood.models.heter_encoders import SECOND as RefSecond
+
+        from heal_tpu.models.second import SecondRefEncoder
+        from heal_tpu.utils.transplant import transplant_second_encoder
+
+        lidar_range = [-8.0, -3.2, -3.0, 8.0, 3.2, 1.0]
+        voxel = [0.4, 0.4, 4.0 / 24]  # nx=40, ny=16, nz=24 (z+1=25)
+        nx, ny, nz = 40, 16, 24
+        args = {
+            "lidar_range": lidar_range,
+            "voxel_size": voxel,
+            "mean_vfe": {"num_point_features": 4},
+            "spconv": {"num_features_in": 4, "num_features_out": 128},
+            "map2bev": {"feature_num": 128},
+        }
+        ref = RefSecond(args).eval()
+        randomize_bn(ref)
+
+        # one point per distinct voxel -> MeanVFE output == the raw point
+        rng = np.random.default_rng(5)
+        k = 300
+        cells = rng.choice(nx * ny * nz, size=k, replace=False)
+        zi = cells // (ny * nx)
+        yi = (cells // nx) % ny
+        xi = cells % nx
+        u = rng.uniform(0.2, 0.8, (3, k))
+        px = lidar_range[0] + (xi + u[0]) * voxel[0]
+        py = lidar_range[1] + (yi + u[1]) * voxel[1]
+        pz = lidar_range[2] + (zi + u[2]) * voxel[2]
+        pi = rng.uniform(0, 1, k)
+        pts = np.stack([px, py, pz, pi], axis=-1).astype(np.float32)
+
+        vf = torch.tensor(pts[:, None, :])  # (V, 1, 4)
+        coords = torch.tensor(
+            np.stack([np.zeros(k), zi, yi, xi], axis=1).astype(np.int64)
+        )
+        npts = torch.ones(k, dtype=torch.long)
+        with torch.no_grad():
+            ref_bev = ref(
+                {
+                    "inputs_m3": {
+                        "voxel_features": vf,
+                        "voxel_coords": coords,
+                        "voxel_num_points": npts,
+                    }
+                },
+                "m3",
+            ).numpy()  # (1, C*D, H, W)
+
+        # capacities per level must hold the spconv site sets: conv2's
+        # output grid is (13, 8, 20) = 2080 cells and ~300 inputs spread
+        # over it activate most of a dilated neighborhood
+        ours = SecondRefEncoder(
+            voxel_size=voxel,
+            lidar_range=lidar_range,
+            max_voxels=(512, 2304, 512, 64, 16),
+        )
+        jp = jnp.asarray(pts)[None]
+        jm = jnp.ones((1, k), bool)
+        variables = ours.init(jax.random.PRNGKey(0), jp, jm, train=False)
+        p, s = transplant_second_encoder(ref.state_dict(), "")
+        # nest under the vmap wrapper module name
+        (wrap_name,) = variables["params"].keys()
+        variables = {
+            "params": {wrap_name: p},
+            "batch_stats": {wrap_name: s},
+        }
+        out = ours.apply(variables, jp, jm, train=False)  # (1, H, W, C*D)
+        np.testing.assert_allclose(
+            np.asarray(out).transpose(0, 3, 1, 2), ref_bev, atol=2e-4
+        )
+        assert np.abs(ref_bev).max() > 0  # non-degenerate
+
+
 class TestFullModelTransplant:
-    def test_heter_pyramid_collab_forward(self):
-        """Full-model contract: reference HeterPyramidCollab (m1) on one
-        2-agent frame == ours with the transplanted state_dict (identity
-        poses; the non-identity warp path is covered by
-        test_weighted_fuse and TestWarpParity)."""
+    def _run_contract(
+        self,
+        lidar_range,
+        nx,
+        ny,
+        agents,
+        n_pillars,
+        pyr_cfg,
+        poses=None,
+        atol=5e-4,
+        seed=11,
+    ):
+        """Reference HeterPyramidCollab (m1) on one frame == ours with
+        the transplanted state_dict. ``poses``: optional per-agent
+        (x, y, yaw) SE(2) poses — builds real non-identity pairwise
+        transforms (identity when None)."""
         import jax
         import jax.numpy as jnp
         from opencood.models.heter_pyramid_collab import (
@@ -398,15 +581,93 @@ class TestFullModelTransplant:
             transplant_heter_pyramid_collab,
         )
 
-        args = {
-            "lidar_range": LIDAR_RANGE,
+        args = self._args(lidar_range, pyr_cfg)
+        ref = RefModel(dict(args)).eval()
+        randomize_bn(ref)
+
+        pts, vf, coords, npts = make_pillars(
+            n_pillars, nx, ny, lidar_range, VOXEL, agents=agents, seed=seed
+        )
+        if poses is None:
+            t44 = np.tile(
+                np.eye(4, dtype=np.float32), (1, agents, agents, 1, 1)
+            )
+        else:
+            mats = []
+            for x, y, yaw in poses:
+                m = np.eye(4, dtype=np.float32)
+                c, s = np.cos(yaw), np.sin(yaw)
+                m[0, 0], m[0, 1], m[1, 0], m[1, 1] = c, -s, s, c
+                m[0, 3], m[1, 3] = x, y
+                mats.append(m)
+            t44 = np.zeros((1, agents, agents, 4, 4), np.float32)
+            for i in range(agents):
+                inv = np.linalg.inv(mats[i])
+                for j in range(agents):
+                    t44[0, i, j] = inv @ mats[j]
+        with torch.no_grad():
+            ref_out = ref(
+                {
+                    "inputs_m1": {
+                        "voxel_features": torch.tensor(vf),
+                        "voxel_coords": torch.tensor(coords),
+                        "voxel_num_points": torch.tensor(npts),
+                    },
+                    "agent_modality_list": ["m1"] * agents,
+                    "record_len": torch.tensor([agents]),
+                    "pairwise_t_matrix": torch.tensor(t44),
+                }
+            )
+
+        model = build_model(
+            {"core_method": "heter_pyramid_collab", "args": args}
+        )
+        from heal_tpu.utils.transform_np import normalize_pairwise_tfm
+
+        h_m = lidar_range[4] - lidar_range[1]
+        w_m = lidar_range[3] - lidar_range[0]
+        affine = normalize_pairwise_tfm(t44, h_m, w_m, 1.0).astype(
+            np.float32
+        )
+        batch = {
+            "inputs_m1": {
+                "points": jnp.asarray(pts)[None],  # (1, A, N, 4)
+                "point_mask": jnp.ones((1, agents, pts.shape[1]), bool),
+            },
+            "slots_m1": jnp.arange(agents, dtype=jnp.int32)[None],
+            "agent_mask": jnp.ones((1, agents), bool),
+            "pairwise_affine": jnp.asarray(affine),
+        }
+        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+        variables = transplant_heter_pyramid_collab(
+            ref.state_dict(), variables, args
+        )
+        out = model.apply(variables, batch, train=False)
+
+        for key in ("cls_preds", "reg_preds", "dir_preds"):
+            ours_k = np.asarray(out[key]).transpose(0, 3, 1, 2)
+            ref_k = ref_out[key].numpy()
+            np.testing.assert_allclose(ours_k, ref_k, atol=atol)
+        for o_ref, o_ours in zip(
+            ref_out["occ_single_list"], out["occ_single_list"]
+        ):
+            np.testing.assert_allclose(
+                np.asarray(o_ours).transpose(0, 3, 1, 2),
+                o_ref.numpy(),
+                atol=atol,
+            )
+
+    @staticmethod
+    def _args(lidar_range, pyr_cfg):
+        return {
+            "lidar_range": lidar_range,
             "norm": "batch",
             "m1": {
                 "core_method": "point_pillar",
                 "sensor_type": "lidar",
                 "encoder_args": {
                     "voxel_size": VOXEL,
-                    "lidar_range": LIDAR_RANGE,
+                    "lidar_range": lidar_range,
                     "pillar_vfe": {
                         "use_norm": True,
                         "with_distance": False,
@@ -422,7 +683,7 @@ class TestFullModelTransplant:
                 },
                 "aligner_args": {"core_method": "identity"},
             },
-            "fusion_backbone": dict(PYR_CFG),
+            "fusion_backbone": dict(pyr_cfg),
             "shrink_header": {
                 "kernal_size": [3], "stride": [1], "padding": [1],
                 "dim": [256], "input_dim": 384,
@@ -433,59 +694,42 @@ class TestFullModelTransplant:
                 "dir_offset": 0.7853, "num_bins": 2, "anchor_yaw": [0, 90],
             },
         }
-        ref = RefModel(dict(args)).eval()
-        randomize_bn(ref)
 
-        agents = 2
-        pts, vf, coords, npts = make_pillars(
-            40, NX, NY, LIDAR_RANGE, VOXEL, agents=agents, seed=11
+    def test_heter_pyramid_collab_forward(self):
+        """Full-model contract at module-test scale: 2 agents, identity
+        poses, 2-block pyramid (non-identity poses and flagship scale in
+        the test below)."""
+        self._run_contract(
+            LIDAR_RANGE, NX, NY, agents=2, n_pillars=40, pyr_cfg=PYR_CFG
         )
-        eye = np.tile(np.eye(4, dtype=np.float32),
-                      (1, agents, agents, 1, 1))
-        with torch.no_grad():
-            ref_out = ref(
-                {
-                    "inputs_m1": {
-                        "voxel_features": torch.tensor(vf),
-                        "voxel_coords": torch.tensor(coords),
-                        "voxel_num_points": torch.tensor(npts),
-                    },
-                    "agent_modality_list": ["m1"] * agents,
-                    "record_len": torch.tensor([agents]),
-                    "pairwise_t_matrix": torch.tensor(eye),
-                }
-            )
 
-        model = build_model(
-            {"core_method": "heter_pyramid_collab", "args": args}
+    @pytest.mark.slow
+    def test_heter_pyramid_collab_flagship_scale(self):
+        """VERDICT r4 item 3a: the full-model contract at FLAGSHIP scale
+        — 512x256 BEV (204.8 m x 102.4 m at 0.4 m voxels), 5 agents,
+        3-stage [3,5,8] pyramid, real non-identity SE(2) poses."""
+        lidar_range = [-102.4, -51.2, -3.0, 102.4, 51.2, 1.0]
+        flagship_pyr = dict(
+            PYR_CFG,
+            layer_nums=[3, 5, 8],
         )
-        ident = np.tile(
-            np.eye(2, 3, dtype=np.float32), (1, agents, agents, 1, 1)
+        poses = [
+            (0.0, 0.0, 0.0),
+            (12.0, 4.0, 0.25),
+            (-18.0, -6.0, -0.4),
+            (30.0, 10.0, 1.1),
+            (-42.0, 2.5, 2.7),
+        ]
+        self._run_contract(
+            lidar_range,
+            512,
+            256,
+            agents=5,
+            n_pillars=1500,
+            pyr_cfg=flagship_pyr,
+            poses=poses,
+            # deeper stack + bigger reductions accumulate more f32
+            # rounding; still parity-grade (preds are O(1) logits)
+            atol=2e-3,
+            seed=13,
         )
-        batch = {
-            "inputs_m1": {
-                "points": jnp.asarray(pts)[None],  # (1, A, N, 4)
-                "point_mask": jnp.ones((1, agents, pts.shape[1]), bool),
-            },
-            "slots_m1": jnp.asarray([[0, 1]], jnp.int32),
-            "agent_mask": jnp.ones((1, agents), bool),
-            "pairwise_affine": jnp.asarray(ident),
-        }
-        variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-        variables = transplant_heter_pyramid_collab(
-            ref.state_dict(), variables, args
-        )
-        out = model.apply(variables, batch, train=False)
-
-        for key in ("cls_preds", "reg_preds", "dir_preds"):
-            ours_k = np.asarray(out[key]).transpose(0, 3, 1, 2)
-            ref_k = ref_out[key].numpy()
-            np.testing.assert_allclose(ours_k, ref_k, atol=5e-4)
-        for o_ref, o_ours in zip(
-            ref_out["occ_single_list"], out["occ_single_list"]
-        ):
-            np.testing.assert_allclose(
-                np.asarray(o_ours).transpose(0, 3, 1, 2),
-                o_ref.numpy(),
-                atol=5e-4,
-            )
