@@ -553,6 +553,123 @@ class TestSecondEncoderTransplant:
         assert np.abs(ref_bev).max() > 0  # non-degenerate
 
 
+class TestLssGeometrySplatParity:
+    def test_geometry_and_voxel_pooling_vs_reference(self):
+        """VERDICT r4 item 3b (LSS): the camera TRUNK is a documented
+        substitution (our conv trunk vs the reference's EfficientNet —
+        weights cannot map), so the contract covers everything around
+        it: frustum creation, get_geometry (undo augmentation, pixel ->
+        agent-frame unprojection) and voxel_pooling (depth-weighted
+        splat, z collapse) on identical injected depth/feature tensors.
+        The reference ctor is cuda-bound (heter_encoders.py:93-100);
+        built via __new__ with CPU tensors."""
+        import jax.numpy as jnp
+        from opencood.models.heter_encoders import LiftSplatShoot
+        from opencood.utils.camera_utils import (
+            depth_discretization as ref_ddisc,
+            gen_dx_bx as ref_gen_dx_bx,
+        )
+
+        from heal_tpu.models.lift_splat_shoot import LiftSplatShootEncoder
+
+        gc = {
+            # generous bounds: every frustum point strictly inside the
+            # grid, so the reference's trunc-vs-floor edge case at cell
+            # boundaries (voxel_pooling .long()) cannot trigger
+            "xbound": [-64.0, 64.0, 0.4],
+            "ybound": [-64.0, 64.0, 0.4],
+            "zbound": [-10.0, 10.0, 20.0],
+            "ddiscr": [2.0, 40.0, 8],
+            "mode": "LID",
+        }
+        final_dim = (64, 96)
+        ds_rate = 16
+        ncam, c = 2, 8
+        fh, fw = final_dim[0] // ds_rate, final_dim[1] // ds_rate
+
+        ref = LiftSplatShoot.__new__(LiftSplatShoot)
+        torch.nn.Module.__init__(ref)
+        ref.grid_conf = gc
+        ref.data_aug_conf = {"final_dim": final_dim}
+        ref.downsample = ds_rate
+        ref.camC = c
+        dx, bx, nx = ref_gen_dx_bx(gc["xbound"], gc["ybound"], gc["zbound"])
+        ref.dx, ref.bx, ref.nx = dx, bx, nx.long()
+        ref.frustum = ref.create_frustum()
+        ref.use_quickcumsum = False  # plain cumsum_trick (same math)
+        ref.D = ref.frustum.shape[0]
+
+        # random-but-valid camera rig: yaw rotations + offsets, mild
+        # post-augmentation transforms
+        def rot_z(a):
+            c_, s_ = np.cos(a), np.sin(a)
+            return np.array(
+                [[c_, -s_, 0], [s_, c_, 0], [0, 0, 1]], np.float32
+            )
+
+        rots = np.stack(
+            [rot_z(0.4), rot_z(-1.2)]
+        )[None]  # (1, N, 3, 3)
+        trans = np.array([[[1.0, 0.5, 1.6], [-0.8, 0.2, 1.5]]], np.float32)
+        intrins = np.tile(
+            np.array(
+                [[70.0, 0, 48.0], [0, 70.0, 32.0], [0, 0, 1]], np.float32
+            ),
+            (1, ncam, 1, 1),
+        )
+        post_rots = np.tile(np.eye(3, dtype=np.float32), (1, ncam, 1, 1))
+        post_rots[0, :, 0, 0] = 0.95
+        post_rots[0, :, 1, 1] = 1.05
+        post_trans = np.zeros((1, ncam, 3), np.float32)
+        post_trans[0, :, 0] = 2.0
+
+        with torch.no_grad():
+            geom_ref = ref.get_geometry(
+                torch.tensor(rots), torch.tensor(trans),
+                torch.tensor(intrins), torch.tensor(post_rots),
+                torch.tensor(post_trans),
+            )  # (1, N, D, fH, fW, 3)
+            vol = RNG.normal(
+                0, 1, (1, ncam, ref.D, fh, fw, c)
+            ).astype(np.float32)
+            bev_ref = ref.voxel_pooling(
+                geom_ref, torch.tensor(vol)
+            ).numpy()  # (1, C, ny, nx)
+
+        enc = LiftSplatShootEncoder(
+            args={
+                "grid_conf": gc,
+                "data_aug_conf": {"final_dim": list(final_dim)},
+                "img_downsample": ds_rate,
+                "img_features": c,
+                "pool": "sum",
+            }
+        )
+        geom_ours = enc.apply(
+            {},
+            fh, fw,
+            jnp.asarray(rots[0]), jnp.asarray(trans[0]),
+            jnp.asarray(intrins[0]), jnp.asarray(post_rots[0]),
+            jnp.asarray(post_trans[0]),
+            method=LiftSplatShootEncoder.geometry,
+        )  # (N, D, fH, fW, 3)
+        np.testing.assert_allclose(
+            np.asarray(geom_ours), geom_ref[0].numpy(), atol=1e-4
+        )
+        bev_ours = enc.apply(
+            {},
+            np.asarray(geom_ours).reshape(-1, 3),
+            jnp.asarray(vol[0].reshape(-1, c)),
+            method=LiftSplatShootEncoder._splat,
+        )  # (ny, nx, C)
+        np.testing.assert_allclose(
+            np.asarray(bev_ours).transpose(2, 0, 1),
+            bev_ref[0],
+            atol=2e-4,
+        )
+        assert np.abs(bev_ref).max() > 0
+
+
 class TestFullModelTransplant:
     def _run_contract(
         self,
