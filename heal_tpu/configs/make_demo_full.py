@@ -163,7 +163,80 @@ def main(out_dir=None):
     print(f"[make_demo_full] wrote 5 configs to {out_dir}")
 
 
+RB = [-102.4, -51.2, -3, 102.4, 51.2, 1]  # the bench/in-order range
+# (ref tools/inference_heter_in_order.py:48-49: 204.8 m x 102.4 m)
+
+
+def _bench_rescale(node, key=None):
+    """demo_heal_full (+-51.2 square) -> bench scale (204.8 x 102.4,
+    x-asymmetric). Key-aware: xbound/W stretch 2x along x, ybound/H
+    unchanged."""
+    if isinstance(node, list):
+        if node == R51:
+            return list(RB)
+        if key == "xbound" and node == [-51.2, 51.2, 0.8]:
+            return [-102.4, 102.4, 0.8]
+        if key == "ddiscr" and node == [2, 50, 24]:
+            return [2, 80, 32]  # cameras see 80 m at bench range
+        return [_bench_rescale(v) for v in node]
+    if isinstance(node, dict):
+        out = {k: _bench_rescale(v, k) for k, v in node.items()}
+        # anchor grid: W counts x cells (102.4 -> 204.8 at vw 0.4)
+        if out.get("vw") == 0.4 and out.get("W") == 256:
+            out["W"] = 512
+        if out.get("max_points") == 25000:
+            out["max_points"] = 30000
+        return out
+    return node
+
+
+def main_bench(out_dir=None):
+    """Bench-scale protocol demo (VERDICT r4 item 5): stage-1 m1 +
+    stage-2 m2 camera + merged m1m2 alliance at the 204.8 x 102.4 m
+    in-order eval range. Derived from the +-51.2 demo_heal_full configs
+    by the key-aware x-stretch above."""
+    out_dir = out_dir or os.path.join(HERE, "demo_heal_bench")
+    full = os.path.join(HERE, "demo_heal_full")
+    if not os.path.isdir(full):
+        main()
+
+    def _loadf(name):
+        with open(os.path.join(full, f"{name}.yaml")) as f:
+            return yaml.safe_load(f)
+
+    stage1 = _bench_rescale(_loadf("stage1_m1"))
+    stage1["name"] = "heal_demo_bench_m1_base"
+    stage1["fusion"]["args"].update(num_vehicles=20)
+    _write(stage1, out_dir, "stage1_m1")
+
+    m2 = _bench_rescale(_loadf("stage2_m2"))
+    m2["name"] = "heal_demo_bench_m2_single"
+    m2["fusion"]["args"].update(num_vehicles=20)
+    _write(m2, out_dir, "stage2_m2")
+
+    # merged alliance with TWO trained types; m3/m4-assigned agents run
+    # the closest trained branch so the in-order k=1..4 protocol still
+    # adds one agent per step (types alternate m1/m2)
+    final = _bench_rescale(_loadf("final_m1m2m3m4"))
+    final["name"] = "heal_demo_bench_final_m1m2"
+    final["heter"]["mapping_dict"] = {
+        "m1": "m1", "m2": "m2", "m3": "m1", "m4": "m2"
+    }
+    final["heter"].pop("lidar_channels_dict", None)
+    for drop in ("m3", "m4"):
+        final["heter"]["modality_setting"].pop(drop, None)
+        final["model"]["args"].pop(drop, None)
+    final["fusion"]["args"].update(num_vehicles=20)
+    _write(final, out_dir, "final_m1m2")
+    print(f"[make_demo_full --bench] wrote 3 configs to {out_dir}")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default=None)
-    main(p.parse_args().out)
+    p.add_argument("--bench", action="store_true")
+    a = p.parse_args()
+    if a.bench:
+        main_bench(a.out)
+    else:
+        main(a.out)

@@ -62,7 +62,24 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--stage1_epochs", type=int, default=None)
     p.add_argument("--stage2_epochs", type=int, default=None)
+    p.add_argument(
+        "--cfg_dir", default=CFG,
+        help="config directory (e.g. configs/demo_heal_bench)",
+    )
+    p.add_argument(
+        "--modalities", default="m2,m3,m4",
+        help="stage-2 agent types to train (csv)",
+    )
+    p.add_argument(
+        "--final_cfg", default="final_m1m2m3m4",
+        help="merged-alliance config name in cfg_dir",
+    )
+    p.add_argument(
+        "--skip_noise", action="store_true",
+        help="skip the pose-noise + box-align legs",
+    )
     args = p.parse_args(argv)
+    cfg_dir = args.cfg_dir
 
     from .inference import run_inference
     from .inference_heter_in_order import run_in_order
@@ -80,7 +97,7 @@ def main(argv=None):
     stage1 = os.path.join(args.out, "stage1_m1")
     if not _trained(stage1, args.stage1_epochs):
         log("stage 1: training m1 base")
-        argv1 = ["-y", os.path.join(CFG, "stage1_m1.yaml"),
+        argv1 = ["-y", os.path.join(cfg_dir, "stage1_m1.yaml"),
                  "--model_dir", stage1, "--no_final_inference"]
         if args.stage1_epochs:
             argv1 += ["--epochs", str(args.stage1_epochs)]
@@ -90,11 +107,12 @@ def main(argv=None):
 
     # ---- stage 2: each new agent type against the frozen base
     stage2_dirs = []
-    for m in ("m2", "m3", "m4"):
+    for m in args.modalities.split(","):
+        m = m.strip()
         d = os.path.join(args.out, f"stage2_{m}")
         if not _trained(d, args.stage2_epochs):
             log(f"stage 2: training {m} single against frozen base")
-            argv2 = ["-y", os.path.join(CFG, f"stage2_{m}.yaml"),
+            argv2 = ["-y", os.path.join(cfg_dir, f"stage2_{m}.yaml"),
                      "--model_dir", d, "--no_final_inference",
                      "--init_from", s1_path]
             if args.stage2_epochs:
@@ -104,13 +122,13 @@ def main(argv=None):
         log(f"stage 2 {m} ready")
 
     # ---- stage 3: merge into the open alliance
-    merged = os.path.join(args.out, "merged_m1m2m3m4")
+    merged = os.path.join(args.out, "merged_alliance")
     if not os.path.exists(os.path.join(merged, "config.yaml")):
         log("stage 3: merging checkpoints")
         merge_final(stage2_dirs, stage1, merged)
         from ..config import load_yaml, save_yaml
 
-        final_cfg = load_yaml(os.path.join(CFG, "final_m1m2m3m4.yaml"))
+        final_cfg = load_yaml(os.path.join(cfg_dir, f"{args.final_cfg}.yaml"))
         save_yaml(final_cfg, os.path.join(merged, "config.yaml"))
     log("merged alliance ready")
 
@@ -137,6 +155,12 @@ def main(argv=None):
     results["in_order"] = json.load(open(tagf))
 
     # ---- pose-noise sweep on the merged alliance
+    if args.skip_noise:
+        with open(os.path.join(args.out, "demo_full_results.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        log("DONE (noise legs skipped)")
+        print(json.dumps(results, indent=2))
+        return results
     tagf = os.path.join(merged, "ap_vs_noise_gauss.json")
     if not os.path.exists(tagf):
         log("eval: pose-noise sweep (gaussian)")
