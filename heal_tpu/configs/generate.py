@@ -134,8 +134,11 @@ def model_branch(m: str):
             "encoder_args": {
                 "voxel_size": [0.1, 0.1, 0.1],
                 "lidar_range": CAV_RANGE,
+                "presorted": True,
+                # column capacities sized for real OPV2V 64-line density
+                # (~20k in-range points -> <= 20k active columns at L0)
                 "second": {"channels": [16, 32, 64, 64],
-                           "max_voxels": [32000, 24000, 16000, 12000]},
+                           "max_voxels": [24000, 16000, 12000, 8000]},
             },
             "backbone_args": {
                 "layer_nums": [3],

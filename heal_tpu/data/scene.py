@@ -311,7 +311,27 @@ class IntermediateAssembler:
                 slots[j] = slot
             sample[f"slots_{m}"] = slots
             if self.sensor_type(m) == "lidar":
-                if cap == L and entries == list(range(len(entries))):
+                # SECOND modalities get their own point order: host-sort
+                # by the encoder's FULL voxel key (column * nz + z at the
+                # modality's voxel size) so voxelize_columns can skip its
+                # device argsort (encoder_args.presorted, the m3 analogue
+                # of the m1 pillar presort)
+                second_vs = None
+                setting = self.modality_setting.get(m, {})
+                if (
+                    self.presort
+                    and setting.get("core_method") == "second"
+                ):
+                    second_vs = (
+                        setting.get("preprocess", {})
+                        .get("args", {})
+                        .get("voxel_size")
+                    )
+                if (
+                    second_vs is None
+                    and cap == L
+                    and entries == list(range(len(entries)))
+                ):
                     # identity packing (single-modality case): ALIAS the
                     # top-level arrays — collate and to_device dedupe by
                     # object id, so the 5+ MB of points is stacked and
@@ -328,6 +348,11 @@ class IntermediateAssembler:
                 for j, slot in enumerate(entries):
                     pts[j] = sample["points"][slot]
                     msk[j] = sample["point_mask"][slot]
+                    if second_vs is not None:
+                        n = int(msk[j].sum())
+                        pts[j, :n] = self._presort_voxel(
+                            pts[j, :n], second_vs
+                        )
                 sample[f"inputs_{m}"] = {"points": pts, "point_mask": msk}
             else:
                 sample[f"inputs_{m}"] = self._pack_cameras(
@@ -532,6 +557,29 @@ class IntermediateAssembler:
         ok = (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny)
         ids = np.where(ok, yi * nx + xi, nx * ny)
         return points[np.argsort(ids, kind="stable")]
+
+    def _presort_voxel(self, points: np.ndarray, voxel_size) -> np.ndarray:
+        """Order points by the SECOND engine's full voxel key
+        ((y*nx + x) * nz + z at ``voxel_size``); see _presort for why
+        host ordering pays. Out-of-range points sort last (INT32_MAX
+        matches ops/column_conv INVALID)."""
+        if len(points) == 0:
+            return points
+        vx, vy, vz = voxel_size
+        r = self.cav_range
+        nx = int(round((r[3] - r[0]) / vx))
+        ny = int(round((r[4] - r[1]) / vy))
+        nz = int(round((r[5] - r[2]) / vz))
+        xi = np.floor((points[:, 0] - r[0]) / vx).astype(np.int64)
+        yi = np.floor((points[:, 1] - r[1]) / vy).astype(np.int64)
+        zi = np.floor((points[:, 2] - r[2]) / vz).astype(np.int64)
+        ok = (
+            (xi >= 0) & (xi < nx)
+            & (yi >= 0) & (yi < ny)
+            & (zi >= 0) & (zi < nz)
+        )
+        key = np.where(ok, (yi * nx + xi) * nz + zi, np.int64(2**31 - 1))
+        return points[np.argsort(key, kind="stable")]
 
     def _gt_in_frame(self, objects_world, pose, limit_range,
                      visibility_map=None):

@@ -121,10 +121,18 @@ class ModalityBranch(nn.Module):
             elif c["core_method"] == "second":
                 from .second import SecondEncoder
 
+                sec = enc_args.get("second", {})
+                kw = {}
+                if "channels" in sec:
+                    kw["channels"] = tuple(sec["channels"])
+                if "max_voxels" in sec:
+                    kw["max_voxels"] = tuple(sec["max_voxels"])
                 self.encoder = SecondEncoder(
                     voxel_size=tuple(enc_args["voxel_size"]),
                     lidar_range=tuple(enc_args["lidar_range"]),
                     norm=self.norm,
+                    presorted=enc_args.get("presorted", False),
+                    **kw,
                 )
             else:
                 raise KeyError(

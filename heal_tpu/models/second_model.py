@@ -29,6 +29,7 @@ def _encoder_from_args(a: dict, norm: str) -> SecondEncoder:
             )
         ),
         norm=norm,
+        presorted=a.get("presorted", False),
     )
 
 

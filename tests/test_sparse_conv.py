@@ -273,3 +273,84 @@ class TestSecondEncoder:
         assert out.shape == (2, 8, 8, 16)
         assert np.isfinite(np.asarray(out)).all()
         assert np.abs(np.asarray(out)).max() > 0
+
+
+class TestPresortedVoxelize:
+    def test_presorted_matches_unsorted(self):
+        """voxelize_columns(presorted=True) on host-ordered points ==
+        the argsort path on the same (shuffled) points."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.ops import column_conv as cc
+
+        rng = np.random.RandomState(0)
+        n = 4000
+        lidar = [-8.0, -4.0, -3.0, 8.0, 4.0, 1.0]
+        vs = [0.2, 0.2, 0.2]
+        pts = np.stack([
+            rng.uniform(-9, 9, n), rng.uniform(-5, 5, n),
+            rng.uniform(-3.5, 1.5, n), rng.rand(n),
+        ], -1).astype(np.float32)
+        mask = rng.rand(n) > 0.1
+        # host order by the full voxel key (scene._presort_voxel logic)
+        nx, ny, nz = 80, 40, 20
+        xi = np.floor((pts[:, 0] + 8) / 0.2).astype(np.int64)
+        yi = np.floor((pts[:, 1] + 4) / 0.2).astype(np.int64)
+        zi = np.floor((pts[:, 2] + 3) / 0.2).astype(np.int64)
+        ok = mask & (xi >= 0) & (xi < nx) & (yi >= 0) & (yi < ny) \
+            & (zi >= 0) & (zi < nz)
+        key = np.where(ok, (yi * nx + xi) * nz + zi, np.int64(2**31 - 1))
+        order = np.argsort(key, kind="stable")
+
+        a = cc.voxelize_columns(
+            jnp.asarray(pts[order]), jnp.asarray(mask[order]), lidar, vs,
+            1024, presorted=True,
+        )
+        b = cc.voxelize_columns(
+            jnp.asarray(pts), jnp.asarray(mask), lidar, vs, 1024,
+        )
+        for k in ("ckeys", "cvalid", "occ"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+        np.testing.assert_allclose(
+            np.asarray(a["feats"]), np.asarray(b["feats"]), atol=1e-5
+        )
+
+
+class TestBf16SplitFirstConv:
+    def test_bf16_split_tracks_f32(self):
+        """bf16 serving of SecondEncoder (local-offset + f32-center split
+        first conv) tracks the f32 forward."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.models.second import SecondEncoder
+
+        rng = np.random.RandomState(1)
+        n = 3000
+        lidar = [-80.0, -40.0, -3.0, 80.0, 40.0, 1.0]
+        pts = np.stack([
+            rng.uniform(-79, 79, n), rng.uniform(-39, 39, n),
+            rng.uniform(-2.9, 0.9, n), rng.rand(n),
+        ], -1).astype(np.float32)
+        enc = SecondEncoder(
+            voxel_size=(0.1, 0.1, 0.1), lidar_range=lidar,
+            max_voxels=(4096, 4096, 2048, 1024),
+        )
+        jp = jnp.asarray(pts)[None]
+        jm = jnp.ones((1, n), bool)
+        v = enc.init(jax.random.PRNGKey(0), jp, jm, train=False)
+        out32 = enc.apply(v, jp, jm, train=False)
+
+        v16 = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, v)
+        out16 = enc.apply(v16, jp, jm, train=False).astype(jnp.float32)
+        ref = np.asarray(out32)
+        got = np.asarray(out16)
+        # bf16 activations: expect agreement at bf16 resolution relative
+        # to the activation scale
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() < 0.05 * max(scale, 1.0), (
+            np.abs(got - ref).max(), scale)
