@@ -59,32 +59,6 @@ class ColumnConvLayer(nn.Module):
                 table=table,
             )
             occ = new_cols["occ"]
-        elif (
-            self.precise_input
-            and kdt == jnp.bfloat16
-            and "center4" in cols
-        ):
-            # bf16 serving split (the pillar-encoder local-coordinate
-            # trick, BASELINE.md round-2): absolute xyz = column/z-cell
-            # center + local offset. The per-point GEMM input becomes
-            # bf16 local offsets (<= half a 0.1 m voxel — bf16-exact to
-            # ~2e-4 m) while the center contribution rides a tiny
-            # 3-channel f32 conv over occ-masked centers — the 2560-byte
-            # f32 gather rows shrink to 1280 bf16 + 240 f32.
-            c4 = cols["center4"]  # (Vc, Z, 4) f32, last channel 0
-            occ_f = cols["occ"][..., None].astype(jnp.float32)
-            local = ((cols["feats"] - c4) * occ_f).astype(kdt)
-            f_loc = cc.subm_conv(
-                dict(cols, grid=grid, feats=local), w, table=table
-            ).astype(jnp.float32)
-            m3 = (c4[..., :3] * occ_f).astype(jnp.float32)
-            f_ctr = cc.subm_conv(
-                dict(cols, grid=grid, feats=m3),
-                jnp.asarray(w, jnp.float32)[:, :3],
-                table=table,
-            )
-            new_cols = dict(cols, feats=f_loc + f_ctr)
-            occ = cols["occ"]
         else:
             feats = cc.subm_conv(dict(cols, grid=grid), w, table=table)
             new_cols = dict(cols, feats=feats)
@@ -114,40 +88,18 @@ class SecondStack(nn.Module):
             self.max_voxels[0], presorted=self.presorted,
         )
         grid = cols.pop("grid")
-        # first layer consumes raw-coordinate mean features — under bf16
-        # serving ColumnConvLayer splits them into local offsets (bf16)
-        # + voxel centers (f32, 3-channel side conv); under f32 it runs
-        # the plain precise path. center4: per-voxel center coordinates.
+        # first layer consumes raw-coordinate mean features -> stays f32
+        # even under bf16 serving (bf16 ULP at |x|~51 m is 0.25 m; a
+        # bf16 local-offset + f32-center split was tried and REGRESSED:
+        # TPU row-gather cost is per-index, so the extra 3-channel
+        # side conv pays a second full gather pass for nothing)
         # one dense rank map per level feeds the level's subm table AND
         # the strided table into the next level
-        vx, vy, vz = self.voxel_size
-        x0, y0, z0 = self.lidar_range[:3]
-        ctr_xy = jnp.stack(
-            [
-                x0 + (cols["coords2"][:, 1].astype(jnp.float32) + 0.5) * vx,
-                y0 + (cols["coords2"][:, 0].astype(jnp.float32) + 0.5) * vy,
-            ],
-            axis=-1,
-        )  # (Vc, 2)
-        z = cols["feats"].shape[1]
-        ctr_z = z0 + (jnp.arange(z, dtype=jnp.float32) + 0.5) * vz
-        center4 = jnp.concatenate(
-            [
-                jnp.broadcast_to(ctr_xy[:, None, :], (ctr_xy.shape[0], z, 2)),
-                jnp.broadcast_to(
-                    ctr_z[None, :, None], (ctr_xy.shape[0], z, 1)
-                ),
-                jnp.zeros((ctr_xy.shape[0], z, 1), jnp.float32),
-            ],
-            axis=-1,
-        )
-        cols["center4"] = center4
         dmap = cc.rank_map(dict(cols, grid=grid))
         table = cc.column_table(dict(cols, grid=grid), dmap=dmap)
         cols = ColumnConvLayer(
             self.channels[0], precise_input=True, name="conv_input"
         )(cols, grid, table=table, train=train)
-        cols.pop("center4", None)
         for si in range(1, len(self.channels)):
             out_cols = cc.downsample_columns(
                 dict(cols, grid=grid), self.max_voxels[si]

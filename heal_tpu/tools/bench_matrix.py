@@ -133,8 +133,12 @@ def bench_path(name: str, spec: dict, frames: int):
     return {"path": name, "desc": spec["desc"], "fps": round(fps, 2)}
 
 
-def bench_train_throughput(frames: int = 8, steps: int = 10):
-    """Train-step throughput on the demo config (ref traintp_calc.py)."""
+def bench_train_throughput(frames: int = 8, steps: int = 10,
+                           bf16: bool = False):
+    """Train-step throughput on the demo config (ref traintp_calc.py).
+
+    ``bf16``: the Trainer's mixed-precision policy (f32 master weights,
+    bf16 compute — the torch-AMP --half equivalent)."""
     import os
 
     import jax
@@ -157,7 +161,7 @@ def bench_train_throughput(frames: int = 8, steps: int = 10):
     model = build_model(cfg["model"])
     criterion = build_loss(cfg["loss"])
     trainer = Trainer(model=model, criterion=criterion,
-                      tx=optax.adam(1e-3)).compile()
+                      tx=optax.adam(1e-3), bf16=bf16).compile()
     bs = 2
     batch = to_device(next(ds.batches(bs, shuffle=False)))
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
@@ -168,13 +172,17 @@ def bench_train_throughput(frames: int = 8, steps: int = 10):
         state, aux = trainer.train_step(state, batch)
     jax.block_until_ready(aux["total_loss"])
     sps = steps * bs / (time.perf_counter() - t0)
-    return {"path": "train_pp_max", "desc": "train step samples/s (b2)",
-            "fps": round(sps, 2)}
+    name = "train_pp_max_bf16" if bf16 else "train_pp_max"
+    desc = ("train step samples/s (b2, bf16 policy)" if bf16
+            else "train step samples/s (b2)")
+    return {"path": name, "desc": desc, "fps": round(sps, 2)}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser("heal_tpu bench_matrix")
-    p.add_argument("--paths", default="pp_max,second,lss,heter4,train")
+    p.add_argument(
+        "--paths", default="pp_max,second,lss,heter4,train,train_bf16"
+    )
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
@@ -184,6 +192,8 @@ def main(argv=None):
         name = name.strip()
         if name == "train":
             rows.append(bench_train_throughput(args.frames))
+        elif name == "train_bf16":
+            rows.append(bench_train_throughput(args.frames, bf16=True))
         else:
             rows.append(bench_path(name, PATH_CONFIGS[name], args.frames))
         print(json.dumps(rows[-1]), flush=True)
