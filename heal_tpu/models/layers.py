@@ -210,7 +210,18 @@ class ConvNormAct(nn.Module):
 
 
 class DeconvNormAct(nn.Module):
-    """Transposed-conv upsample + norm + relu (reference deblocks)."""
+    """Transposed-conv upsample + norm + relu (reference deblocks).
+
+    kernel == stride (the only configuration the deblocks use), so the
+    transposed conv is computed as ONE 1x1 GEMM producing s*s*C channels
+    followed by a depth-to-space reshape — mathematically identical
+    (each output pixel receives exactly one kernel tap when the windows
+    don't overlap), but ~20x fewer "ops" for XLA than the input-dilated
+    convolution lowering of ConvTranspose, which measured ~2 ms/frame
+    for 3.7 GFLOP of deblocks at bench scale on v5e. The parameter keeps
+    nn.ConvTranspose's (kh, kw, I, O) shape/name so checkpoints and the
+    reference transplant (utils/transplant.deconv_kernel) are unchanged.
+    """
 
     features: int
     stride: int
@@ -219,11 +230,11 @@ class DeconvNormAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.stride >= 1:
-            x = nn.ConvTranspose(
-                self.features,
-                (self.stride, self.stride),
-                strides=(self.stride, self.stride),
-                use_bias=False,
+            # explicit name keeps the param at ["ConvTranspose_0"]
+            # ["kernel"] — checkpoints/transplants unchanged
+            x = _PixelShuffleDeconv(
+                features=self.features, stride=self.stride,
+                name="ConvTranspose_0",
             )(x)
         else:
             s = int(round(1 / self.stride))
@@ -232,6 +243,51 @@ class DeconvNormAct(nn.Module):
             )(x)
         x = Norm(self.norm)(x, train)
         return nn.relu(x)
+
+
+class _PixelShuffleDeconv(nn.Module):
+    """kernel==stride ConvTranspose as 1x1 GEMM + depth-to-space.
+
+    Parameter shape/name matches nn.ConvTranspose ((kh, kw, I, O) under
+    "kernel"); the module registers under the caller's usual
+    "ConvTranspose_0" slot via the explicit name in DeconvNormAct, so
+    checkpoints and transplants load unchanged. flax ConvTranspose's
+    tap at output (i*s+di, j*s+dj) is kern[s-1-di, s-1-dj] (spatially
+    flipped — probed directly); the depth-to-space arrangement below
+    reproduces it exactly
+    (tests/test_zoo_variants.py::test_pixel_shuffle_deconv_exact).
+    """
+
+    features: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        s = self.stride
+        cin = x.shape[-1]
+        kern = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (s, s, cin, self.features),
+        )
+        if s == 1:
+            return jnp.dot(
+                x, kern[0, 0].astype(x.dtype),
+                preferred_element_type=x.dtype,
+            )
+        w = (
+            kern[::-1, ::-1].astype(x.dtype)
+            .transpose(2, 0, 1, 3)
+            .reshape(cin, s * s * self.features)
+        )
+        n, h, ww = x.shape[:3]
+        y = jnp.dot(
+            x.reshape(-1, cin), w, preferred_element_type=x.dtype
+        ).reshape(n, h, ww, s, s, self.features)
+        # depth-to-space: (n, h, w, s, s, C) -> (n, h*s, w*s, C)
+        return y.transpose(0, 1, 3, 2, 4, 5).reshape(
+            n, h * s, ww * s, self.features
+        )
 
 
 class BasicBlock(nn.Module):
@@ -323,7 +379,9 @@ class ResNetStage(nn.Module):
         # norm only (group-norm statistics are layout-dependent).
         s2d = (
             not train
-            and self.planes <= 64
+            and self.planes <= int(
+                os.environ.get("HEAL_TPU_S2D_MAX_PLANES", "64")
+            )
             and self.groups == 1
             and parse_norm(self.norm)[0] in ("batch", "none")
             and x.shape[1] % 2 == 0

@@ -234,3 +234,28 @@ class TestStandaloneLSS:
         )
         assert out["cls_preds"].shape[0] == b  # fused to ego
         assert np.isfinite(np.asarray(out["cls_preds"])).all()
+
+
+def test_pixel_shuffle_deconv_exact():
+    """_PixelShuffleDeconv == nn.ConvTranspose for kernel == stride (the
+    deblock configuration), same params."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heal_tpu.models.layers import _PixelShuffleDeconv
+
+    rng = np.random.RandomState(0)
+    for s, cin, cout in ((2, 8, 16), (4, 16, 8), (1, 8, 8)):
+        x = jnp.asarray(rng.randn(2, 6, 10, cin).astype(np.float32))
+        mod = _PixelShuffleDeconv(features=cout, stride=s)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        ref = nn.ConvTranspose(
+            cout, (s, s), strides=(s, s), use_bias=False
+        )
+        out = mod.apply(v, x)
+        out_ref = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(out_ref), atol=1e-5
+        )
