@@ -49,15 +49,50 @@ def merge_final(new_type_dirs: list, base_dir: str, output_dir: str) -> str:
     return out
 
 
+def rename_modules(ckpt_path: str, mapping: dict) -> str:
+    """Rename top-level module subtrees in a checkpoint pytree.
+
+    Counterpart of the reference's checkpoint-surgery renamer
+    (tools/heal_tools.py:113-130 ``rename_to_new_version``: key-prefix
+    rewrites to load old-version checkpoints into renamed module trees).
+    The original file is kept as ``<path>.oldversion``.
+
+        python -m heal_tpu.tools.merge rename ckpt.ckpt old=new [...]
+    """
+    ckpt = ckpt_lib.load_checkpoint(ckpt_path)
+
+    def rename_tree(tree):
+        if not isinstance(tree, dict):
+            return tree
+        return {mapping.get(k, k): v for k, v in tree.items()}
+
+    out = {
+        col: rename_tree(sub) if isinstance(sub, dict) else sub
+        for col, sub in ckpt.items()
+    }
+    shutil.copy(ckpt_path, ckpt_path + ".oldversion")
+    from flax import serialization
+
+    with open(ckpt_path, "wb") as f:
+        f.write(serialization.msgpack_serialize(out))
+    print(f"[rename] {ckpt_path}: {mapping} (backup .oldversion)")
+    return ckpt_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser("heal_tpu merge tools")
-    p.add_argument("command", choices=["merge_final"])
+    p.add_argument("command", choices=["merge_final", "rename"])
     p.add_argument("dirs", nargs="+",
-                   help="new-type dirs..., base dir, output dir")
+                   help="merge_final: new-type dirs..., base dir, output "
+                        "dir; rename: ckpt_path old=new [old=new ...]")
     args = p.parse_args(argv)
     if args.command == "merge_final":
         *new_dirs, base, out = args.dirs
         merge_final(new_dirs, base, out)
+    elif args.command == "rename":
+        path, *pairs = args.dirs
+        mapping = dict(pair.split("=", 1) for pair in pairs)
+        rename_modules(path, mapping)
 
 
 if __name__ == "__main__":

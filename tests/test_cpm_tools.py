@@ -81,3 +81,33 @@ class TestImg2Hdf5:
         assert convert_cav_dir(str(cdir), rm_png=True) == 1
         assert not (cdir / "000001_camera0.png").exists()
         assert (cdir / "000001_imgs.hdf5").exists()
+
+
+class TestCheckpointRename:
+    def test_rename_modules_roundtrip(self, tmp_path):
+        """merge.rename_modules (ref heal_tools.rename_to_new_version):
+        top-level module subtrees renamed in place, backup kept."""
+        import numpy as np
+
+        from heal_tpu.tools import checkpoint as ck
+        from heal_tpu.tools.merge import rename_modules
+
+        state = {
+            "params": {
+                "old_name": {"kernel": np.ones((2, 2), np.float32)},
+                "keep": {"bias": np.zeros(3, np.float32)},
+            },
+            "batch_stats": {"old_name": {"mean": np.zeros(2, np.float32)}},
+        }
+        path = ck.save_checkpoint(str(tmp_path), state, 3)
+        rename_modules(path, {"old_name": "new_name"})
+        out = ck.load_checkpoint(path)
+        assert "new_name" in out["params"] and "old_name" not in out["params"]
+        assert "new_name" in out["batch_stats"]
+        assert "keep" in out["params"]
+        np.testing.assert_array_equal(
+            out["params"]["new_name"]["kernel"], np.ones((2, 2))
+        )
+        import os
+
+        assert os.path.exists(path + ".oldversion")
