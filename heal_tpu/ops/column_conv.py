@@ -201,22 +201,13 @@ def subm_conv(cols, weights, table=None, bias=None):
     weights (27, Cin, Cout) in sparse_conv._offsets() order. Outputs are
     re-masked with ``occ`` so only active voxels carry values.
 
-    Gather plan — TPU row gathers cost per INDEX (each moves a full
-    sublane tile; measured 76 GB/s useful vs 628 GB/s streaming), so
-    the stencil is served by TWO gathers instead of eight:
-
-      * middle row (dy=0): the dx=-1/0/+1 cells have consecutive keys,
-        so their active subset occupies consecutive RANKS — read the
-        row itself plus rank+-1 SLICES of a 3-wide shifted copy
-        ``wide`` (contiguous, no gather);
-      * dy=-1 and dy=+1 rows: ONE gather each from ``wide`` at the
-        row's anchor rank (smallest active rank of the triple); each
-        offset's features are then selected from the gathered
-        3-block row by its prefix slot (provably in {0, 1, 2}).
-
-    (A rank-slice variant that skipped the zstack fusion, and a
-    bf16-split first conv, were both tried and measured slower —
-    see git history.)
+    The identity tap (dy=dx=0) reads the row directly instead of
+    gathering it — TPU row gathers move a full sublane tile per index
+    (~8-16x amplification; measured 76 GB/s useful vs 628 GB/s
+    streaming), so the skipped gather is ~1/9 of the conv's HBM bill.
+    (Rank+-1 slice tricks for the dx=+-1 taps were tried and measured
+    SLOWER: the slice+key-mask+zstack chain defeats XLA's gather->GEMM
+    fusion.)
     """
     if table is None:
         table = column_table(cols)
@@ -225,58 +216,21 @@ def subm_conv(cols, weights, table=None, bias=None):
     cout = weights.shape[-1]
     wdt = feats.dtype
     blocks = _regroup_weights(weights.astype(wdt))
-    zc = z * cin
-    flat = feats.reshape(vc, zc)
-    zrow = jnp.zeros((1, zc), wdt)
-    # wide[c] = [flat[c], flat[c+1], flat[c+2]]; wide[vc] = zeros (miss)
-    nxt1 = jnp.concatenate([flat[1:], zrow], axis=0)
-    nxt2 = jnp.concatenate([flat[2:], zrow, zrow], axis=0)
-    wide = jnp.concatenate([flat, nxt1, nxt2], axis=1)  # (Vc, 3*ZC)
-    wide_pad = jnp.concatenate(
-        [wide, jnp.zeros((1, 3 * zc), wdt)], axis=0
-    )
-
-    def triple(j3):
-        """(anchor, slot, hit) for offsets j3 = [j-1, j, j+1] of a row."""
-        t3 = table[:, j3]  # (Vc, 3)
-        hit = t3 < vc
-        anchor = jnp.min(t3, axis=1)  # miss sentinel = vc sorts last
-        h = hit.astype(jnp.int32)
-        slot = jnp.stack(
-            [jnp.zeros((vc,), jnp.int32), h[:, 0], h[:, 0] + h[:, 1]],
-            axis=1,
-        )
-        return anchor, slot, hit
-
+    offs = _offsets2d()
+    # gather FLAT (Z*C,) rows — lane-aligned HBM moves (see module doc)
+    flat = feats.reshape(vc, z * cin)
+    fpad = jnp.concatenate([flat, jnp.zeros((1, z * cin), wdt)], axis=0)
     out = jnp.zeros((vc, z, cout), wdt)
-    for row_i, j3 in enumerate(([0, 1, 2], [3, 4, 5], [6, 7, 8])):
-        if row_i == 1:
-            # middle row: slices, no gather (wide[c-1] holds ranks
-            # c-1, c, c+1; wide[c] holds c, c+1, c+2)
-            row_at_c = wide
-            row_at_cm1 = jnp.concatenate(
-                [jnp.zeros((1, 3 * zc), wdt), wide[:-1]], axis=0
-            )
-            anchor, slot, hit = triple(j3)
-            # anchor is c-1 or c; select the matching slice per column
-            use_m1 = anchor == jnp.arange(vc, dtype=jnp.int32) - 1
-            grow = jnp.where(use_m1[:, None], row_at_cm1, row_at_c)
-            # if anchor == c (x-1 missing), slots already measure from c
+    for j, (dy, dx) in enumerate(offs):
+        if dy == 0 and dx == 0:
+            # identity tap: the row itself — never pay a gather for it
+            g = flat.reshape(vc, z, cin)
         else:
-            anchor, slot, hit = triple(j3)
-            grow = jnp.take(wide_pad, anchor, axis=0)  # (Vc, 3*ZC)
-        for k, j in enumerate(j3):
-            sel = slot[:, k]
-            gk = (
-                grow[:, :zc] * (sel == 0)[:, None].astype(wdt)
-                + grow[:, zc : 2 * zc] * (sel == 1)[:, None].astype(wdt)
-                + grow[:, 2 * zc :] * (sel == 2)[:, None].astype(wdt)
-            )
-            gk = gk * hit[:, k : k + 1].astype(wdt)
-            gg = _zstack(gk.reshape(vc, z, cin)).reshape(vc * z, 3 * cin)
-            out = out + jnp.dot(
-                gg, blocks[j], preferred_element_type=wdt
-            ).reshape(vc, z, cout)
+            g = jnp.take(fpad, table[:, j], axis=0).reshape(vc, z, cin)
+        gg = _zstack(g).reshape(vc * z, 3 * cin)
+        out = out + jnp.dot(
+            gg, blocks[j], preferred_element_type=wdt
+        ).reshape(vc, z, cout)
     if bias is not None:
         out = out + bias
     return out * cols["occ"][..., None].astype(wdt)
