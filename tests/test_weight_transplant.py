@@ -553,6 +553,149 @@ class TestSecondEncoderTransplant:
         assert np.abs(ref_bev).max() > 0  # non-degenerate
 
 
+class TestHmsaTransplant:
+    def test_hgt_cav_attention_vs_reference(self):
+        """V2XViT's core: HGTCavAttention (hmsa.py) — per-TYPE q/k/v/out
+        projections + per-type-pair relation matrices inside the
+        attention bilinear form and the message transform. Weights
+        transplanted from the torch module into our typed-one-hot HMSA;
+        forward A/B on a mixed-type agent set."""
+        import jax
+        import jax.numpy as jnp
+        from opencood.models.sub_modules.hmsa import HGTCavAttention
+
+        from heal_tpu.models.fuse.v2xvit import HMSA
+
+        dim, heads, dh, t_num = 16, 2, 8, 2
+        b, l, h, w = 1, 3, 4, 6
+        ref = HGTCavAttention(
+            dim, heads=heads, num_types=t_num,
+            num_relations=t_num * t_num, dim_head=dh, dropout=0.0,
+        ).eval()
+
+        x = RNG.normal(0, 1, (b, l, h, w, dim)).astype(np.float32)
+        types = np.array([[0, 1, 0]], np.int64)
+        mask = np.ones((b, h, w, l, 1), np.float32)
+        prior = np.zeros((b, l, h, w, 3), np.float32)
+        prior[..., 2] = types[:, :, None, None]
+
+        with torch.no_grad():
+            ref_out = ref(
+                torch.tensor(x),
+                torch.tensor(mask),
+                torch.tensor(prior),
+            ).numpy()  # (B, L, H, W, C)
+
+        ours = HMSA(dim=heads * dh, heads=heads, num_types=t_num)
+        jx = jnp.asarray(x)
+        jm = jnp.ones((b, l), bool)
+        jt = jnp.asarray(types, jnp.int32)
+        variables = ours.init(
+            jax.random.PRNGKey(0), jx, jm, jt, False
+        )
+
+        sd = ref.state_dict()
+
+        def typed(prefix, transpose):
+            ws, bs = [], []
+            for t in range(t_num):
+                wt = np.asarray(sd[f"{prefix}.{t}.weight"], np.float32)
+                ws.append(wt.T if transpose else wt)
+                bs.append(np.asarray(sd[f"{prefix}.{t}.bias"], np.float32))
+            return {"kernel": np.stack(ws), "bias": np.stack(bs)}
+
+        params = {
+            "q": typed("q_linears", True),
+            "k": typed("k_linears", True),
+            "v": typed("v_linears", True),
+            "proj": typed("a_linears", True),
+            "relation_att": np.asarray(
+                sd["relation_att"], np.float32
+            ).reshape(t_num, t_num, heads, dh, dh),
+            "relation_msg": np.asarray(
+                sd["relation_msg"], np.float32
+            ).reshape(t_num, t_num, heads, dh, dh),
+        }
+        out = ours.apply({"params": params}, jx, jm, jt, False)
+        np.testing.assert_allclose(
+            np.asarray(out), ref_out, atol=2e-5
+        )
+        assert np.abs(ref_out).max() > 0
+
+
+class TestMswinTransplant:
+    def test_base_window_attention_vs_reference(self):
+        """V2XViT's MSwin branch: BaseWindowAttention (mswin.py) — fused
+        no-bias to_qkv, relative-position bias table, windowed softmax,
+        to_out projection. Weights split into our flax MHA params (the
+        reference's head-shared rel-pos table broadcasts exactly into
+        our per-head table)."""
+        import jax
+        import jax.numpy as jnp
+        from opencood.models.sub_modules.mswin import BaseWindowAttention
+
+        from heal_tpu.models.fuse.v2xvit import WindowAttention
+
+        dim, heads, ws = 16, 2, 2
+        dh = dim // heads
+        b, l, h, w = 1, 2, 4, 6
+        ref = BaseWindowAttention(
+            dim, heads=heads, dim_head=dh, drop_out=0.0, window_size=ws,
+            relative_pos_embedding=True,
+        ).eval()
+        x = RNG.normal(0, 1, (b, l, h, w, dim)).astype(np.float32)
+        with torch.no_grad():
+            ref_out = ref(torch.tensor(x)).numpy()
+
+        ours = WindowAttention(dim=dim, window=ws, heads=heads)
+        jx = jnp.asarray(x.reshape(b * l, h, w, dim))
+        variables = ours.init(jax.random.PRNGKey(0), jx, False)
+
+        sd = ref.state_dict()
+        wqkv = np.asarray(sd["to_qkv.weight"], np.float32)  # (3*inner, dim)
+        inner = dim
+        wq, wk, wv = (
+            wqkv[:inner].T, wqkv[inner : 2 * inner].T, wqkv[2 * inner :].T
+        )  # each (dim, inner)
+
+        def mha_kernel(wt):
+            return wt.reshape(dim, heads, dh)
+
+        wout = np.asarray(sd["to_out.0.weight"], np.float32)  # (dim, inner)
+        bout = np.asarray(sd["to_out.0.bias"], np.float32)
+        pos = np.asarray(sd["pos_embedding"], np.float32)  # (2w-1, 2w-1)
+        # our table: ((2w-1)^2, heads) indexed by dy*(2w-1)+dx — the
+        # reference's head-shared table broadcast to every head
+        table = np.repeat(pos.reshape(-1, 1), heads, axis=1)
+
+        params = {
+            "MultiHeadDotProductAttention_0": {
+                "query": {
+                    "kernel": mha_kernel(wq),
+                    "bias": np.zeros((heads, dh), np.float32),
+                },
+                "key": {
+                    "kernel": mha_kernel(wk),
+                    "bias": np.zeros((heads, dh), np.float32),
+                },
+                "value": {
+                    "kernel": mha_kernel(wv),
+                    "bias": np.zeros((heads, dh), np.float32),
+                },
+                "out": {
+                    "kernel": wout.T.reshape(heads, dh, dim),
+                    "bias": bout,
+                },
+            },
+            "rel_pos_bias": table,
+        }
+        out = ours.apply({"params": params}, jx, False)
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(b, l, h, w, dim), ref_out, atol=2e-5
+        )
+        assert np.abs(ref_out).max() > 0
+
+
 class TestLssGeometrySplatParity:
     def test_geometry_and_voxel_pooling_vs_reference(self):
         """VERDICT r4 item 3b (LSS): the camera TRUNK is a documented
