@@ -78,6 +78,14 @@ class SecondStack(nn.Module):
     channels: Sequence[int]
     max_voxels: Sequence[int]
     presorted: bool = False
+    # last level's submanifold convs CAN run densely (exact; see
+    # _DenseSubmLayer + tests): the hypothesis was that replacing two
+    # row-gather passes with dense conv wins, but at the bench L3 grid
+    # ((5, 128, 256) x 64ch) the dense FLOPs (72 GFLOP/agent) cost MORE
+    # than the gathers they replace (measured 23.3 vs 25.7 f/s on the
+    # m3 single path) - default stays sparse; the flag remains for
+    # smaller tails
+    dense_tail: bool = False
 
     @nn.compact
     def __call__(self, points, mask, train: bool = False):
@@ -113,6 +121,16 @@ class SecondStack(nn.Module):
             )(cols, grid, out=out_cols, out_grid=out_grid, table=st,
               train=train)
             grid = out_grid
+            if self.dense_tail and si == len(self.channels) - 1:
+                dense, docc = cc.to_dense_voxels(dict(cols, grid=grid))
+                for j in range(2):
+                    dense = _DenseSubmLayer(
+                        self.channels[si], name=f"stage{si}_subm{j}"
+                    )(dense, docc, train)
+                z, h, w = grid
+                return dense.transpose(1, 2, 0, 3).reshape(
+                    h, w, z * dense.shape[-1]
+                )
             # the two submanifold convs of this stage share one table
             dmap = cc.rank_map(dict(cols, grid=grid))
             table = cc.column_table(dict(cols, grid=grid), dmap=dmap)
@@ -121,6 +139,28 @@ class SecondStack(nn.Module):
                     self.channels[si], name=f"stage{si}_subm{j}"
                 )(cols, grid, table=table, train=train)
         return cc.to_dense_bev(dict(cols, grid=grid))
+
+
+class _DenseSubmLayer(nn.Module):
+    """Dense-canvas submanifold conv + LayerNorm + ReLU, parameter- and
+    name-compatible with ColumnConvLayer (kernel (27, Cin, Cout),
+    LayerNorm_0) so checkpoints load into either tail."""
+
+    cout: int
+
+    @nn.compact
+    def __call__(self, dense, docc, train: bool = False):
+        cin = dense.shape[-1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(), (27, cin, self.cout)
+        )
+        kdt = jnp.asarray(w).dtype
+        x = dense.astype(kdt) if kdt == jnp.bfloat16 else dense
+        out = cc.dense_subm_conv(x, docc, w)
+        h = nn.LayerNorm(epsilon=1e-3)(out)
+        if kdt == jnp.bfloat16:
+            h = h.astype(kdt)
+        return nn.relu(h) * docc[..., None].astype(h.dtype)
 
 
 class SecondEncoder(nn.Module):
@@ -132,6 +172,7 @@ class SecondEncoder(nn.Module):
     max_voxels: Sequence[int] = (24000, 16000, 12000, 8000)
     norm: str = "batch"  # accepted for interface parity; stack is LN
     presorted: bool = False
+    dense_tail: bool = False
 
     @nn.compact
     def __call__(self, points, mask, train: bool = False):
@@ -147,6 +188,7 @@ class SecondEncoder(nn.Module):
             channels=tuple(self.channels),
             max_voxels=tuple(self.max_voxels),
             presorted=self.presorted,
+            dense_tail=self.dense_tail,
         )
         return stack(points, mask, train)
 

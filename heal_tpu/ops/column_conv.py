@@ -380,3 +380,43 @@ def to_dense_bev(cols, feats=None):
         rows, mode="drop", indices_are_sorted=True, unique_indices=True
     )
     return dense[:-1].reshape(h, w, z * c)
+
+
+def to_dense_voxels(cols):
+    """Columns -> dense (Z, H, W, C) canvas + (Z, H, W) occupancy.
+
+    Scatter of Vc rows; used by the SECOND stack's dense tail (the last
+    level's submanifold convs run densely — its grid is small after 8x
+    downsampling and the output is densified right after anyway, so the
+    rank/table machinery and row gathers are pure overhead there).
+    """
+    z, h, w = cols["grid"]
+    feats, occ, cvalid = cols["feats"], cols["occ"], cols["cvalid"]
+    vc, _, c = feats.shape
+    kk = jnp.where(cvalid, cols["ckeys"], h * w)
+    dense = jnp.zeros((h * w + 1, z, c), feats.dtype).at[kk].set(
+        feats * cvalid[:, None, None].astype(feats.dtype), mode="drop"
+    )[: h * w]
+    docc = jnp.zeros((h * w + 1, z), bool).at[kk].set(
+        occ & cvalid[:, None], mode="drop"
+    )[: h * w]
+    dense = dense.reshape(h, w, z, c).transpose(2, 0, 1, 3)
+    return dense, docc.reshape(h, w, z).transpose(2, 0, 1)
+
+
+def dense_subm_conv(dense, docc, weights):
+    """Dense 3x3x3 conv restricted to active sites == submanifold conv
+    (absent neighbors hold zeros; outputs masked to input occupancy).
+
+    dense (Z, H, W, C); weights (27, Cin, Cout) in _offsets order
+    ((dz, dy, dx) z-major = the NDHWC kernel's spatial order).
+    """
+    z, h, w, cin = dense.shape
+    cout = weights.shape[-1]
+    k = weights.astype(dense.dtype).reshape(3, 3, 3, cin, cout)
+    out = jax.lax.conv_general_dilated(
+        dense[None], k, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=dense.dtype,
+    )[0]
+    return out * docc[..., None].astype(out.dtype)

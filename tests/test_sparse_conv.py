@@ -354,3 +354,37 @@ class TestBf16SplitFirstConv:
         scale = np.abs(ref).max()
         assert np.abs(got - ref).max() < 0.05 * max(scale, 1.0), (
             np.abs(got - ref).max(), scale)
+
+
+class TestDenseTail:
+    def test_dense_tail_matches_sparse_tail(self):
+        """SecondEncoder dense-tail (last level's subm convs on the
+        dense canvas) == the sparse tail with the same params."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from heal_tpu.models.second import SecondEncoder
+
+        rng = np.random.RandomState(2)
+        n = 2500
+        lidar = [-16.0, -8.0, -3.0, 16.0, 8.0, 1.0]
+        pts = np.stack([
+            rng.uniform(-15.5, 15.5, n), rng.uniform(-7.5, 7.5, n),
+            rng.uniform(-2.9, 0.9, n), rng.rand(n),
+        ], -1).astype(np.float32)
+        kw = dict(
+            voxel_size=(0.1, 0.1, 0.1), lidar_range=lidar,
+            max_voxels=(3000, 2000, 1200, 800),
+        )
+        dense = SecondEncoder(dense_tail=True, **kw)
+        sparse = SecondEncoder(dense_tail=False, **kw)
+        jp = jnp.asarray(pts)[None]
+        jm = jnp.ones((1, n), bool)
+        v = dense.init(jax.random.PRNGKey(0), jp, jm, train=False)
+        out_d = dense.apply(v, jp, jm, train=False)
+        out_s = sparse.apply(v, jp, jm, train=False)  # same params
+        np.testing.assert_allclose(
+            np.asarray(out_d), np.asarray(out_s), atol=2e-4
+        )
+        assert np.abs(np.asarray(out_s)).max() > 0
